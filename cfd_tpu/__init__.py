@@ -1,0 +1,37 @@
+"""cfd_tpu — a TPU-native compact finite-difference framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
+CUDA/OpenCL + MPI library ``ashwinsrnth/compact-finite-differences``:
+4th/6th-order compact (Padé) first derivatives of 3-D scalar fields, batched
+near-Toeplitz tridiagonal solves with precomputed coefficient tables, pencil
+domain decomposition over a ``jax.sharding.Mesh`` with ``ppermute`` halo
+exchange, and a distributed reduced-interface (substructuring) tridiagonal
+solve closed with an ``all_gather`` over the line axis.
+
+See SURVEY.md for the structural map of the reference and BASELINE.md for the
+performance baselines this package is measured against.
+"""
+
+from . import oracle, ops, schemes
+from .schemes import (
+    SCHEME4,
+    SCHEME4_PERIODIC,
+    SCHEME6,
+    SCHEME6_PERIODIC,
+    CompactScheme,
+    get_scheme,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "oracle",
+    "ops",
+    "schemes",
+    "CompactScheme",
+    "get_scheme",
+    "SCHEME4",
+    "SCHEME4_PERIODIC",
+    "SCHEME6",
+    "SCHEME6_PERIODIC",
+]
