@@ -1,0 +1,70 @@
+"""Headline benchmark: 256^3 single-chip d/dx throughput (grid points/s).
+
+Mirrors the reference's multi-GPU dfdx harness
+(/root/reference/perf-test/multi-GPU/PyCUDA/run.py) at its 256^3
+configuration. Baseline datum: 191 Mpt/s per GPU (256^3 on 8 GPUs,
+BASELINE.md) — vs_baseline is points/s/chip relative to that.
+
+Prints exactly one JSON line.
+
+Timing note: on tunnelled TPU runtimes, per-dispatch latency is large and
+block_until_ready can return at enqueue, so this measures the *slope* of a
+data-dependent chain of derivative applications inside one jitted program
+(see cfd_tpu.utils.timing.chain_time).
+"""
+
+import json
+import math
+import os
+import sys
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import cfd_tpu
+from cfd_tpu.schemes import SCHEME4
+from cfd_tpu.utils.timing import chain_time
+
+
+def main():
+    n = 256
+    dx = 2 * math.pi / n
+    x = np.arange(n) * dx
+    f = jnp.asarray(
+        (np.sin(x)[None, None, :] * np.ones((n, n, 1))).astype(np.float32)
+    )
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    method = "pallas" if on_tpu else "pcr"
+
+    def step(g):
+        return cfd_tpu.dfdx(g, dx, SCHEME4, method=method)
+
+    # accuracy gate: d/dx sin = cos to f32 tolerance before timing
+    err = float(jnp.max(jnp.abs(step(f) - jnp.cos(jnp.asarray(x, jnp.float32)))))
+    assert err < 5e-4, f"accuracy gate failed: {err}"
+
+    dt = chain_time(step, f, k_small=2, k_big=26, repeats=3)
+    pts_per_s = n**3 / dt
+    baseline = 191e6  # points/s per GPU, 256^3 on 8 GPUs (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "dfdx_2563_points_per_sec_per_chip",
+                "value": round(pts_per_s, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

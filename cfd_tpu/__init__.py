@@ -12,7 +12,17 @@ See SURVEY.md for the structural map of the reference and BASELINE.md for the
 performance baselines this package is measured against.
 """
 
-from . import oracle, ops, schemes
+from . import models, oracle, ops, parallel, schemes, utils
+from .parallel import DistributedCompactSolver, Grid, make_mesh
+from .ops import (
+    curl,
+    derivative,
+    dfdx,
+    dfdy,
+    dfdz,
+    divergence,
+    gradient,
+)
 from .schemes import (
     SCHEME4,
     SCHEME4_PERIODIC,
@@ -27,7 +37,19 @@ __version__ = "0.1.0"
 __all__ = [
     "oracle",
     "ops",
+    "parallel",
     "schemes",
+    "utils",
+    "DistributedCompactSolver",
+    "Grid",
+    "make_mesh",
+    "curl",
+    "derivative",
+    "dfdx",
+    "dfdy",
+    "dfdz",
+    "divergence",
+    "gradient",
     "CompactScheme",
     "get_scheme",
     "SCHEME4",

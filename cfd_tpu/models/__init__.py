@@ -1,0 +1,12 @@
+"""Model layer: analytic fields and PDE steppers built on compact derivatives."""
+
+from .advection_diffusion import AdvectionDiffusion, Derivs
+from .fields import benchmark_field, sine_field, taylor_green
+
+__all__ = [
+    "AdvectionDiffusion",
+    "Derivs",
+    "benchmark_field",
+    "sine_field",
+    "taylor_green",
+]

@@ -1,0 +1,94 @@
+"""Scalar advection–diffusion stepper — the framework's flagship pipeline.
+
+A compact-FD "model" in the PDE sense: advances
+
+    df/dt = -(u . grad f) + nu * laplacian(f)
+
+with RK3 (Williamson low-storage) time stepping, where every spatial
+derivative is a compact derivative from this package (the Laplacian is a
+repeated first derivative, as the reference library only provides first
+derivatives). This is the end-to-end workload used by ``__graft_entry__``
+and the benchmarks: it chains many derivative evaluations per step, which
+is exactly the production shape (CFD RHS evaluations) the reference's
+multi-GPU harness approximates with repeated dfdx calls
+(perf-test/multi-GPU/PyCUDA/run.py:47-58).
+
+Works identically on a single device (ops layer) or sharded over a mesh
+(parallel layer) depending on the ``derivs`` bundle passed in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import derivatives as single
+from ..schemes import SCHEME4_PERIODIC, CompactScheme
+
+__all__ = ["AdvectionDiffusion", "Derivs"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Derivs:
+    """A (dfdx, dfdy, dfdz) bundle; single-device or distributed."""
+
+    dfdx: Callable
+    dfdy: Callable
+    dfdz: Callable
+
+    @classmethod
+    def single_device(
+        cls, spacing, scheme: CompactScheme = SCHEME4_PERIODIC, method: str = "pcr"
+    ):
+        dz, dy, dx = (
+            (spacing, spacing, spacing)
+            if isinstance(spacing, (int, float))
+            else spacing
+        )
+        return cls(
+            dfdx=lambda f: single.dfdx(f, dx, scheme, method=method),
+            dfdy=lambda f: single.dfdy(f, dy, scheme, method=method),
+            dfdz=lambda f: single.dfdz(f, dz, scheme, method=method),
+        )
+
+    @classmethod
+    def distributed(cls, solver):
+        return cls(dfdx=solver.dfdx, dfdy=solver.dfdy, dfdz=solver.dfdz)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectionDiffusion:
+    """RK3 advection–diffusion of a scalar by a frozen velocity field."""
+
+    derivs: Derivs
+    nu: float = 1e-3
+
+    def rhs(self, f, u) -> jax.Array:
+        ux, uy, uz = u
+        d = self.derivs
+        fx, fy, fz = d.dfdx(f), d.dfdy(f), d.dfdz(f)
+        adv = ux * fx + uy * fy + uz * fz
+        lap = d.dfdx(fx) + d.dfdy(fy) + d.dfdz(fz)
+        return -adv + self.nu * lap
+
+    def step(self, f, u, dt) -> jax.Array:
+        """One low-storage RK3 step (Williamson coefficients)."""
+        A = (0.0, -5.0 / 9.0, -153.0 / 128.0)
+        B = (1.0 / 3.0, 15.0 / 16.0, 8.0 / 15.0)
+        q = jnp.zeros_like(f)
+        for a, b in zip(A, B):
+            q = a * q + dt * self.rhs(f, u)
+            f = f + b * q
+        return f
+
+    def run(self, f0, u, dt, n_steps: int) -> jax.Array:
+        """n_steps of RK3 under lax.scan (jit-friendly, static trip count)."""
+
+        def body(f, _):
+            return self.step(f, u, dt), None
+
+        f, _ = jax.lax.scan(body, f0, None, length=n_steps)
+        return f

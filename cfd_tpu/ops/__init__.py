@@ -1,6 +1,17 @@
 """Single-device compute ops: tridiagonal solvers, RHS assembly, derivatives."""
 
-from . import tridiag
+from . import rhs, tridiag
+from .derivatives import (
+    curl,
+    derivative,
+    dfdx,
+    dfdy,
+    dfdz,
+    divergence,
+    gradient,
+    line_factors,
+)
+from .rhs import closure_ghosts, compact_rhs
 from .tridiag import (
     CyclicFactors,
     PCRFactors,
@@ -15,6 +26,17 @@ from .tridiag import (
 
 __all__ = [
     "tridiag",
+    "rhs",
+    "curl",
+    "derivative",
+    "dfdx",
+    "dfdy",
+    "dfdz",
+    "divergence",
+    "gradient",
+    "line_factors",
+    "closure_ghosts",
+    "compact_rhs",
     "CyclicFactors",
     "PCRFactors",
     "ThomasFactors",

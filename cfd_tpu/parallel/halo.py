@@ -1,0 +1,52 @@
+"""Halo exchange over a mesh axis via ``lax.ppermute``.
+
+Replaces the reference's 6-face MPI halo machinery — ``global_to_local``
+with Memcpy3D face packs and GPU-aware Isend/Irecv
+(/root/reference/code/cuda/gpuDA.py:61-132, 244-278) — with one collective
+permute per direction inside ``shard_map``. XLA handles packing; ICI carries
+the faces. Edge masking matches the reference's ``_forward_swap`` /
+``_backward_swap`` send-only/recv-only behaviour (gpuDA.py:182-216):
+``ppermute`` leaves non-destination shards with zeros, exactly the
+"boundary untouched" semantics their DA tests assert.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["halo_slices", "exchange_1d"]
+
+
+def halo_slices(fl: jax.Array, axis_name: str, width: int, periodic: bool):
+    """Exchange ``width``-deep faces along mesh axis ``axis_name``.
+
+    ``fl`` is the shard-local block with the exchange direction as axis 0.
+    Returns ``(left, right)``: the last ``width`` rows of the left
+    neighbour and the first ``width`` rows of the right neighbour, each of
+    shape ``(width, ...)``. Non-periodic edge shards receive zeros on their
+    open side (mask/overwrite with physical-boundary data as needed).
+
+    Must be called inside ``shard_map`` with ``axis_name`` in scope.
+    """
+    p = lax.axis_size(axis_name)
+    if p == 1:
+        wrap = fl[-width:] if periodic else jnp.zeros_like(fl[:width])
+        return (wrap, fl[:width] if periodic else jnp.zeros_like(fl[:width]))
+    fwd = [(i, i + 1) for i in range(p - 1)]
+    bwd = [(i + 1, i) for i in range(p - 1)]
+    if periodic:
+        fwd.append((p - 1, 0))
+        bwd.append((0, p - 1))
+    left = lax.ppermute(fl[-width:], axis_name, fwd)
+    right = lax.ppermute(fl[:width], axis_name, bwd)
+    return left, right
+
+
+def exchange_1d(
+    fl: jax.Array, axis_name: str, width: int, periodic: bool
+) -> jax.Array:
+    """Return ``fl`` extended with halos: shape (width + n + width, ...)."""
+    left, right = halo_slices(fl, axis_name, width, periodic)
+    return jnp.concatenate([left, fl, right], axis=0)

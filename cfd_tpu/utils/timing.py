@@ -1,0 +1,107 @@
+"""Reliable on-device timing for environments with async/tunnelled dispatch.
+
+The reference times phases with MPI barriers + ``cuda.Context.synchronize``
+around each call (/root/reference/code/cuda/timer.py:4-16). The JAX analogue
+would be ``block_until_ready`` — but on remote-tunnelled TPU runtimes
+dispatch can acknowledge before execution completes and each dispatch carries
+a large fixed round-trip latency, which makes naive per-call timing
+meaningless (observed: a 137-GFLOP matmul "completing" in 30 us, while any
+single dispatch costs ~25 ms).
+
+``chain_time`` removes both failure modes: it times a *data-dependent chain*
+of k applications of the op inside one jitted computation for two values of
+k and reports the slope — fixed dispatch overhead cancels, and the chain's
+data dependence forces real sequential execution on the device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["chain_time", "phase_timer"]
+
+
+def _build_chain(step: Callable, k: int):
+    """jit(x -> step applied k times), with a data dependence between steps."""
+
+    @jax.jit
+    def run(x):
+        def body(_, y):
+            out = step(y)
+            # force the next iteration to depend on this one even if step's
+            # output shape differs from its input: fold out's mean back in
+            return y + 0 * jnp.mean(out).astype(y.dtype) if out.shape != y.shape else out
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    return run
+
+
+def chain_time(
+    step: Callable,
+    x: jax.Array,
+    *,
+    k_small: int = 2,
+    k_big: int = 34,
+    repeats: int = 3,
+) -> float:
+    """Seconds per application of ``step`` measured by chain-slope timing.
+
+    ``step`` must map an array to an array of the same shape/dtype (so the
+    chain is a genuine sequential dependence). Returns the minimum slope over
+    ``repeats`` trials.
+    """
+    import numpy as np
+
+    small = _build_chain(step, k_small)
+    big = _build_chain(step, k_big)
+
+    def sync_run(fn):
+        # a host readback of a value derived from the result is the only
+        # sync that provably waits for execution on tunnelled runtimes
+        # (block_until_ready has been observed to return at enqueue)
+        r = fn(x)
+        return float(np.asarray(jnp.sum(r[..., :1, :1])))
+
+    # compile + warm both
+    sync_run(small)
+    sync_run(big)
+
+    def best_of(fn):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            sync_run(fn)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    slope = (best_of(big) - best_of(small)) / (k_big - k_small)
+    return max(slope, 1e-12)
+
+
+class phase_timer:
+    """Named phase timer (host wall clock + block_until_ready), rank-0 print.
+
+    The lightweight analogue of the reference's ``@timeit`` phase decorator;
+    accurate on locally attached devices, indicative only through dispatch
+    tunnels (use chain_time for benchmark numbers).
+    """
+
+    def __init__(self, name: str, *, verbose: bool = True):
+        self.name = name
+        self.verbose = verbose
+        self.elapsed = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self._t0
+        if self.verbose and jax.process_index() == 0:
+            print(f"[cfd_tpu] {self.name}: {self.elapsed * 1e3:.3f} ms")
+        return False

@@ -1,0 +1,145 @@
+"""Single-device derivative API vs the float64 oracle and analytic fields.
+
+Mirrors the reference's integration tests (code/cuda/test/test_compact.py,
+code/ocl/test/test_compact.py: sin -> cos and x*y*z fields, dfdx/dfdy/dfdz)
+but asserts at 1e-10 in float64 instead of decimal=2."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cfd_tpu
+from cfd_tpu.oracle import derivative_np
+from cfd_tpu.ops.rhs import closure_ghosts, compact_rhs
+from cfd_tpu.schemes import (
+    SCHEME4,
+    SCHEME4_PERIODIC,
+    SCHEME6,
+    SCHEME6_PERIODIC,
+)
+
+ALL_SCHEMES = [SCHEME4, SCHEME6, SCHEME4_PERIODIC, SCHEME6_PERIODIC]
+IDS = [s.name for s in ALL_SCHEMES]
+
+
+def _field(nz=6, ny=8, nx=32):
+    z = np.linspace(0.1, 1.2, nz)[:, None, None]
+    y = np.linspace(0.2, 1.4, ny)[None, :, None]
+    x = np.linspace(0.3, 1.6, nx)[None, None, :]
+    return x * np.cos(x * y) + np.sin(z) * y, (z, y, x)
+
+
+@pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
+@pytest.mark.parametrize("method", ["pcr", "thomas"])
+def test_rhs_and_solve_vs_oracle(rng, scheme, method):
+    n = 32
+    f = rng.standard_normal((n, 5, 3))
+    dx = 0.013
+    got = np.asarray(
+        cfd_tpu.derivative(jnp.asarray(f), dx, scheme, axis=0, method=method)
+    )
+    expect = derivative_np(scheme, f, dx, axis=0)
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-11)
+
+
+@pytest.mark.parametrize("axis", [-1, -2, -3])
+def test_axis_handling_vs_oracle(rng, axis):
+    f = rng.standard_normal((6, 8, 16))
+    dx = 0.05
+    got = np.asarray(cfd_tpu.derivative(jnp.asarray(f), dx, SCHEME4, axis=axis))
+    expect = derivative_np(SCHEME4, f, dx, axis=axis)
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-11)
+
+
+def test_dfdx_dfdy_dfdz_analytic():
+    # the reference's multi-GPU benchmark field f = x cos(xy) + sin(z) y
+    f, (z, y, x) = _field(32, 32, 64)
+    dz = float(z[1, 0, 0] - z[0, 0, 0])
+    dy = float(y[0, 1, 0] - y[0, 0, 0])
+    dx = float(x[0, 0, 1] - x[0, 0, 0])
+    fj = jnp.asarray(f)
+    dfdx_exact = np.cos(x * y) - x * y * np.sin(x * y) + 0 * f
+    dfdy_exact = -(x**2) * np.sin(x * y) + np.sin(z) + 0 * f
+    dfdz_exact = np.cos(z) * y + 0 * f
+    assert np.max(np.abs(np.asarray(cfd_tpu.dfdx(fj, dx)) - dfdx_exact)) < 2e-4
+    assert np.max(np.abs(np.asarray(cfd_tpu.dfdy(fj, dy)) - dfdy_exact)) < 2e-4
+    assert np.max(np.abs(np.asarray(cfd_tpu.dfdz(fj, dz)) - dfdz_exact)) < 2e-4
+
+
+def test_jit_and_vmap_clean():
+    f, _ = _field()
+    fj = jnp.asarray(f)
+    jitted = jax.jit(lambda g: cfd_tpu.dfdx(g, 0.05))
+    np.testing.assert_allclose(
+        np.asarray(jitted(fj)), np.asarray(cfd_tpu.dfdx(fj, 0.05)), rtol=1e-12
+    )
+    batched = jax.vmap(lambda g: cfd_tpu.dfdx(g, 0.05))(jnp.stack([fj, 2 * fj]))
+    np.testing.assert_allclose(
+        np.asarray(batched[1]), 2 * np.asarray(batched[0]), rtol=1e-12
+    )
+
+
+def test_gradient_divergence_curl():
+    f, (z, y, x) = _field(12, 12, 32)
+    spacing = (
+        float(z[1, 0, 0] - z[0, 0, 0]),
+        float(y[0, 1, 0] - y[0, 0, 0]),
+        float(x[0, 0, 1] - x[0, 0, 0]),
+    )
+    fj = jnp.asarray(f)
+    gx, gy, gz = cfd_tpu.gradient(fj, spacing)
+    assert gx.shape == f.shape and gy.shape == f.shape and gz.shape == f.shape
+    # curl(grad f) = 0 up to truncation error
+    cx, cy, cz = cfd_tpu.curl((gx, gy, gz), spacing)
+    for c in (cx, cy, cz):
+        assert float(jnp.max(jnp.abs(c))) < 5e-2
+    # divergence of (f, 0, 0) equals dfdx
+    div = cfd_tpu.divergence((fj, jnp.zeros_like(fj), jnp.zeros_like(fj)), spacing)
+    np.testing.assert_allclose(
+        np.asarray(div), np.asarray(cfd_tpu.dfdx(fj, spacing[2])), rtol=1e-12
+    )
+
+
+def test_unknown_method():
+    with pytest.raises(ValueError, match="unknown solver method"):
+        cfd_tpu.derivative(jnp.zeros((8, 2)), 0.1, SCHEME4, method="magic")
+
+
+@pytest.mark.parametrize("scheme", [SCHEME4, SCHEME6], ids=["pade4", "lele6"])
+def test_closure_ghosts_reproduce_closure_rhs(rng, scheme):
+    # interior stencil applied over [ghosts; f; ghosts] must equal compact_rhs
+    n = 24
+    f = jnp.asarray(rng.standard_normal((n, 7)))
+    gl, gr = closure_ghosts(f, scheme)
+    f_ext = jnp.concatenate([gl, f, gr], axis=0)
+    w = scheme.stencil_width
+    r = jnp.zeros_like(f)
+    for k, wt in zip(scheme.rhs_offsets, scheme.rhs_weights):
+        r = r + wt * (f_ext[w + k : w + k + n] - f_ext[w - k : w - k + n])
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(compact_rhs(f, 1.0, scheme)), rtol=1e-12, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
+def test_pallas_interpret_vs_oracle(rng, scheme):
+    # the fused kernel in interpreter mode on CPU, f32
+    f = rng.standard_normal((32, 4, 8))
+    dx = 0.021
+    from cfd_tpu.ops.pallas_fused import fused_derivative_lines
+
+    got = np.asarray(
+        fused_derivative_lines(
+            jnp.asarray(f, jnp.float32), dx, scheme, interpret=True
+        )
+    )
+    expect = derivative_np(scheme, f, dx, axis=0)
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_rejects_f64():
+    from cfd_tpu.ops.pallas_fused import fused_derivative_lines
+
+    with pytest.raises(ValueError, match="float32"):
+        fused_derivative_lines(jnp.zeros((16, 4), jnp.float64), 0.1, SCHEME4)

@@ -1,0 +1,222 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh.
+
+The honest analogue of the reference's real-MPI-rank tests
+(code/cuda/test/test_gpuDA/*, test_compact.py on 2x2x2 ranks): every test
+here runs real multi-device programs with real collectives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+import cfd_tpu
+from cfd_tpu.oracle import derivative_np
+from cfd_tpu.parallel import Grid, exchange_1d, halo_slices, make_mesh
+from cfd_tpu.schemes import (
+    SCHEME4,
+    SCHEME4_PERIODIC,
+    SCHEME6,
+    SCHEME6_PERIODIC,
+)
+
+ALL_SCHEMES = [SCHEME4, SCHEME6, SCHEME4_PERIODIC, SCHEME6_PERIODIC]
+IDS = [s.name for s in ALL_SCHEMES]
+
+
+def _mesh(shape):
+    return make_mesh(shape)
+
+
+# ---------------------------------------------------------------------------
+# halo exchange (reference: test_gpuDA/test_1d.py, test_3d.py, test_sw.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("width", [1, 2])
+@pytest.mark.parametrize("periodic", [False, True])
+def test_halo_exchange_1d(width, periodic):
+    mesh = _mesh((1, 1, 8))
+    n = 32
+    f = jnp.arange(n, dtype=jnp.float64)
+
+    def body(fl):
+        left, right = halo_slices(fl, "x", width, periodic)
+        return jnp.concatenate([left, right])
+
+    out = shard_map(
+        body, mesh=mesh, in_specs=P("x"), out_specs=P("x")
+    )(f)
+    out = np.asarray(out).reshape(8, 2 * width)
+    nl = n // 8
+    for r in range(8):
+        left, right = out[r, :width], out[r, width:]
+        if r > 0:
+            np.testing.assert_array_equal(left, np.arange(r * nl - width, r * nl))
+        elif periodic:
+            np.testing.assert_array_equal(left, np.arange(n - width, n))
+        else:
+            np.testing.assert_array_equal(left, 0)  # untouched edge
+        if r < 7:
+            np.testing.assert_array_equal(
+                right, np.arange((r + 1) * nl, (r + 1) * nl + width)
+            )
+        elif periodic:
+            np.testing.assert_array_equal(right, np.arange(width))
+        else:
+            np.testing.assert_array_equal(right, 0)
+
+
+def test_exchange_1d_extends():
+    mesh = _mesh((1, 1, 4))
+    f = jnp.arange(16, dtype=jnp.float64)
+
+    def body(fl):
+        return exchange_1d(fl, "x", 1, True)
+
+    out = shard_map(body, mesh=mesh, in_specs=P("x"), out_specs=P("x"))(f)
+    # each shard contributes 1+4+1 = 6 rows
+    out = np.asarray(out).reshape(4, 6)
+    np.testing.assert_array_equal(out[1], [3, 4, 5, 6, 7, 8])
+    np.testing.assert_array_equal(out[0], [15, 0, 1, 2, 3, 4])
+
+
+# ---------------------------------------------------------------------------
+# Grid / mesh plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_grid_properties():
+    mesh = _mesh((2, 2, 2))
+    g = Grid(mesh, (16, 32, 64), (0.1, 0.2, 0.3))
+    assert g.local_shape == (8, 16, 32)
+    assert g.proc_shape == (2, 2, 2)
+    z, y, x = g.coordinates()
+    assert x.shape == (64,) and float(x[1] - x[0]) == pytest.approx(0.3)
+
+
+def test_grid_divisibility_error():
+    mesh = _mesh((2, 2, 2))
+    with pytest.raises(ValueError, match="not divisible"):
+        Grid(mesh, (15, 32, 64), (0.1, 0.2, 0.3))
+
+
+def test_make_mesh_too_many_devices():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh((4, 4, 4))
+
+
+# ---------------------------------------------------------------------------
+# distributed derivative vs float64 oracle
+# ---------------------------------------------------------------------------
+
+
+def _dist_check(scheme, mesh_shape, shape=(16, 16, 32), tol=1e-10):
+    mesh = _mesh(mesh_shape)
+    spacing = (0.11, 0.07, 0.05)
+    grid = Grid(mesh, shape, spacing, scheme)
+    rng = np.random.default_rng(7)
+    f = rng.standard_normal(shape)
+    fj = grid.distribute(jnp.asarray(f))
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    for axis, fn in ((2, solver.dfdx), (1, solver.dfdy), (0, solver.dfdz)):
+        got = np.asarray(fn(fj))
+        expect = derivative_np(scheme, f, spacing[axis], axis=axis)
+        np.testing.assert_allclose(
+            got, expect, rtol=tol, atol=tol, err_msg=f"axis={axis}"
+        )
+
+
+@pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
+def test_distributed_vs_oracle_2x2x2(scheme):
+    _dist_check(scheme, (2, 2, 2))
+
+
+@pytest.mark.parametrize("scheme", [SCHEME4, SCHEME4_PERIODIC], ids=["p4", "p4per"])
+def test_distributed_vs_oracle_1x1x8(scheme):
+    # deep line decomposition: 8 shards over a 64-point line
+    _dist_check(scheme, (1, 1, 8), shape=(4, 4, 64))
+
+
+def test_distributed_vs_oracle_1x8x1():
+    _dist_check(SCHEME6, (1, 8, 1), shape=(8, 64, 8))
+
+
+def test_distributed_vs_oracle_8x1x1():
+    _dist_check(SCHEME4, (8, 1, 1), shape=(64, 4, 8))
+
+
+def test_distributed_irregular_local_blocks():
+    # reference tests 64x32x32 local blocks on 2x2x2 (test_compact.py:33-59)
+    _dist_check(SCHEME4, (2, 2, 2), shape=(8, 16, 64))
+
+
+def test_distributed_sin_cos_analytic():
+    mesh = _mesh((2, 2, 2))
+    n = 64
+    L = 2 * np.pi
+    dx = L / n
+    grid = Grid(mesh, (n, n, n), (dx, dx, dx), SCHEME4_PERIODIC)
+    z, y, x = np.meshgrid(
+        np.arange(n) * dx, np.arange(n) * dx, np.arange(n) * dx, indexing="ij"
+    )
+    f = np.sin(x)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    got = np.asarray(solver.dfdx(grid.distribute(jnp.asarray(f))))
+    assert np.max(np.abs(got - np.cos(x))) < 1e-6
+
+
+def test_distributed_gradient_divergence_curl():
+    mesh = _mesh((2, 2, 2))
+    shape = (16, 16, 16)
+    grid = Grid(mesh, shape, (0.1, 0.1, 0.1), SCHEME4)
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal(shape))
+    fj = grid.distribute(f)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    gx, gy, gz = solver.gradient(fj)
+    # compare against the single-device path
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(cfd_tpu.dfdx(f, 0.1)), rtol=1e-10, atol=1e-11
+    )
+    div = solver.divergence((fj, fj, fj))
+    np.testing.assert_allclose(
+        np.asarray(div),
+        np.asarray(gx) + np.asarray(gy) + np.asarray(gz),
+        rtol=1e-10,
+        atol=1e-11,
+    )
+    cx, cy, cz = solver.curl((fj, fj, fj))
+    np.testing.assert_allclose(
+        np.asarray(cx), np.asarray(gy) - np.asarray(gz), rtol=1e-10, atol=1e-10
+    )
+
+
+def test_distributed_jit_end_to_end():
+    mesh = _mesh((1, 2, 4))
+    shape = (4, 16, 32)
+    grid = Grid(mesh, shape, (0.1, 0.1, 0.1), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    rng = np.random.default_rng(5)
+    f = rng.standard_normal(shape)
+    fj = grid.distribute(jnp.asarray(f))
+    fn = jax.jit(lambda g: solver.dfdx(g) + solver.dfdy(g))
+    got = np.asarray(fn(fj))
+    expect = derivative_np(SCHEME4, f, 0.1, axis=2) + derivative_np(
+        SCHEME4, f, 0.1, axis=1
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-11)
+
+
+def test_distributed_pallas_interpret():
+    # the fused-kernel distributed path, interpreter mode, f32
+    mesh = _mesh((1, 1, 4))
+    shape = (4, 8, 32)
+    grid = Grid(mesh, shape, (0.1, 0.1, 0.05), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="pallas", interpret=True)
+    rng = np.random.default_rng(11)
+    f = rng.standard_normal(shape).astype(np.float32)
+    got = np.asarray(solver.dfdx(grid.distribute(jnp.asarray(f))))
+    expect = derivative_np(SCHEME4, f, 0.05, axis=2)
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
