@@ -41,17 +41,14 @@ def main():
         (np.sin(x)[None, None, :] * np.ones((n, n, 1))).astype(np.float32)
     )
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    method = "pallas" if on_tpu else "pcr"
-
     def step(g):
-        return cfd_tpu.dfdx(g, dx, SCHEME4, method=method)
+        return cfd_tpu.dfdx(g, dx, SCHEME4, method="auto")
 
     # accuracy gate: d/dx sin = cos to f32 tolerance before timing
     err = float(jnp.max(jnp.abs(step(f) - jnp.cos(jnp.asarray(x, jnp.float32)))))
     assert err < 5e-4, f"accuracy gate failed: {err}"
 
-    dt = chain_time(step, f, k_small=2, k_big=26, repeats=3)
+    dt = chain_time(step, f, k_small=4, k_big=64, repeats=3)
     pts_per_s = n**3 / dt
     baseline = 191e6  # points/s per GPU, 256^3 on 8 GPUs (BASELINE.md)
     print(

@@ -15,11 +15,12 @@ per-row scalar tables (forward multipliers w, inverse pivots 1/d̂, super-
 diagonal du — precomputed once in float64, see ops/tridiag.thomas_factor)
 live in SMEM.
 
-Boundary closures are folded into ghost rows (ops/rhs.closure_ghosts), so
-the in-kernel stencil is uniform — no divergent first/last tiles (the
-reference gates on ``mx == 0 && ix == 0`` inside the kernel,
-kernels.cu:36-46). Periodic lines reuse the same kernel plus an in-VMEM
-Sherman–Morrison rank-1 correction pass.
+Boundary closures are folded into ghost rows (ops/rhs.closure_ghosts) that
+enter the kernel as separate small inputs — no concatenation pass over the
+field, and the in-kernel stencil stays uniform (the reference instead gates
+on ``mx == 0 && ix == 0`` inside the kernel, kernels.cu:36-46). Periodic
+lines reuse the same kernel plus an in-VMEM Sherman–Morrison rank-1
+correction pass.
 
 float32/bfloat16 only (TPU hardware dtypes); float64 callers are routed to
 the XLA-level PCR path by ``ops.derivatives``.
@@ -40,10 +41,16 @@ from ..schemes import CompactScheme
 from . import tridiag
 from .rhs import closure_ghosts
 
-__all__ = ["fused_derivative_lines", "solve_lines_pallas", "LANE", "DEFAULT_SUBLANES"]
+__all__ = [
+    "fused_derivative_lines",
+    "solve_lines_pallas",
+    "solve_lines_tables_pallas",
+    "LANE",
+    "DEFAULT_SUBLANES",
+]
 
 LANE = 128
-DEFAULT_SUBLANES = 16  # lines per step = DEFAULT_SUBLANES * LANE
+DEFAULT_SUBLANES = 8  # lines per grid step = DEFAULT_SUBLANES * LANE
 
 
 def _stencil(scheme: CompactScheme) -> Tuple[Tuple[int, float], ...]:
@@ -53,6 +60,8 @@ def _stencil(scheme: CompactScheme) -> Tuple[Tuple[int, float], ...]:
 def _fused_kernel(
     inv_dx_ref,
     f_ref,
+    gl_ref,
+    gr_ref,
     w_ref,
     invd_ref,
     du_ref,
@@ -66,35 +75,61 @@ def _fused_kernel(
 ):
     """RHS assembly fused with the Thomas sweeps, batch in (S, 128) tiles.
 
-    f_ref:   (n + 2*halo, S, 128) — extended field block (ghosts included)
+    f_ref:        (n, S, 128) — field block
+    gl_ref/gr_ref:(halo, S, 128) — ghost/halo rows left/right of the block
     w/invd/du/q_ref: (n,) SMEM scalar tables
-    out_ref: (n, S, 128)
+    out_ref:      (n, S, 128)
     """
     inv_dx = inv_dx_ref[0]
 
-    def rhs_row(i):
+    def row(i):
+        """f at line-index i, i in [-halo, n+halo), from the right buffer."""
+        if i < 0:
+            return gl_ref[pl.ds(halo + i, 1)]
+        if i >= n:
+            return gr_ref[pl.ds(i - n, 1)]
+        return f_ref[pl.ds(i, 1)]
+
+    def rhs_static(i):
+        """RHS at static row i (edge rows, unrolled)."""
         r = None
         for k, wt in stencil:
-            hi = f_ref[pl.ds(i + halo + k, 1)]
-            lo = f_ref[pl.ds(i + halo - k, 1)]
-            term = wt * (hi - lo)
+            term = wt * (row(i + k) - row(i - k))
             r = term if r is None else r + term
         return r * inv_dx
 
-    def fwd(i, y_prev):
-        y = rhs_row(i) - w_ref[i] * y_prev
+    def rhs_dyn(i):
+        """RHS at traced row i, valid only for halo <= i < n - halo."""
+        r = None
+        for k, wt in stencil:
+            term = wt * (f_ref[pl.ds(i + k, 1)] - f_ref[pl.ds(i - k, 1)])
+            r = term if r is None else r + term
+        return r * inv_dx
+
+    # ---- forward sweep: y[i] = rhs[i] - w[i] * y[i-1] ---------------------
+    y = jnp.zeros((1,) + out_ref.shape[1:], out_ref.dtype)
+    for i in range(halo):  # left edge rows, ghosts in play (unrolled)
+        y = rhs_static(i) - w_ref[i] * y
         out_ref[pl.ds(i, 1)] = y
-        return y
 
-    zero = jnp.zeros((1,) + out_ref.shape[1:], out_ref.dtype)
-    jax.lax.fori_loop(0, n, fwd, zero)
+    def fwd(i, y_prev):
+        yi = rhs_dyn(i) - w_ref[i] * y_prev
+        out_ref[pl.ds(i, 1)] = yi
+        return yi
 
+    y = jax.lax.fori_loop(halo, n - halo, fwd, y)
+    for i in range(n - halo, n):  # right edge rows (unrolled)
+        y = rhs_static(i) - w_ref[i] * y
+        out_ref[pl.ds(i, 1)] = y
+
+    # ---- backward sweep: x[i] = (y[i] - du[i] * x[i+1]) / dhat[i] ---------
     def bwd(j, x_next):
         i = n - 1 - j
         x = (out_ref[pl.ds(i, 1)] - du_ref[i] * x_next) * invd_ref[i]
         out_ref[pl.ds(i, 1)] = x
         return x
 
+    zero = jnp.zeros((1,) + out_ref.shape[1:], out_ref.dtype)
     jax.lax.fori_loop(0, n, bwd, zero)
 
     if sm_params is not None:
@@ -113,14 +148,13 @@ def _fused_kernel(
     jax.jit,
     static_argnames=("stencil", "sm_params", "n", "halo", "sublanes", "interpret"),
 )
-def _call_fused_tables(
-    f_ext, inv_dx, w, invd, du, q, *, stencil, sm_params, n, halo, sublanes, interpret
+def _call_fused(
+    f, gl, gr, inv_dx, w, invd, du, q, *, stencil, sm_params, n, halo, sublanes, interpret
 ):
-    """f_ext: (n + 2*halo, B) with B % (sublanes*LANE) == 0."""
-    B = f_ext.shape[1]
+    """f: (n, B); gl/gr: (halo, B); B % (sublanes*LANE) == 0."""
+    B = f.shape[1]
     S = sublanes
-    f_blocks = f_ext.reshape(n + 2 * halo, B // LANE, LANE)
-    grid = (B // (S * LANE),)
+    blocks = B // LANE
     kernel = functools.partial(
         _fused_kernel,
         n=n,
@@ -130,14 +164,16 @@ def _call_fused_tables(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, B // LANE, LANE), f_ext.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((n, blocks, LANE), f.dtype),
+        grid=(B // (S * LANE),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_dx (1,)
+            pl.BlockSpec((n, S, LANE), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n + 2 * halo, S, LANE),
-                lambda j: (0, j, 0),
-                memory_space=pltpu.VMEM,
+                (halo, S, LANE), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (halo, S, LANE), lambda j: (0, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # w (n,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # invd (n,)
@@ -149,11 +185,20 @@ def _call_fused_tables(
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * n * B,
-            bytes_accessed=(2 * n + 2 * halo) * B * f_ext.dtype.itemsize,
+            bytes_accessed=2 * n * B * f.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(inv_dx, f_blocks, w, invd, du, q)
+    )(
+        inv_dx,
+        f.reshape(n, blocks, LANE),
+        gl.reshape(halo, blocks, LANE),
+        gr.reshape(halo, blocks, LANE),
+        w,
+        invd,
+        du,
+        q,
+    )
     return out.reshape(n, B)
 
 
@@ -190,39 +235,35 @@ def _kernel_tables(scheme: CompactScheme, n: int):
     return f32(core.w), f32(core.invd), f32(core.du), f32(q)
 
 
-def solve_lines_pallas(
-    f_ext: jax.Array,
-    inv_dx,
-    scheme: CompactScheme,
-    *,
-    sublanes: int = DEFAULT_SUBLANES,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused derivative of extended lines ``f_ext`` of shape (n+2w, B).
+def _pad_batch(arrs, B, tile):
+    Bp = -(-B // tile) * tile
+    if Bp == B:
+        return arrs, B
+    return [jnp.pad(a, ((0, 0), (0, Bp - B))) for a in arrs], B
 
-    The first/last ``w = scheme.stencil_width`` rows are ghost rows (closure
-    ghosts at physical boundaries, halo data at shard interfaces, wrap rows
-    for periodic schemes). Returns (n, B).
-    """
-    halo = scheme.stencil_width
-    n = f_ext.shape[0] - 2 * halo
-    B = f_ext.shape[1]
+
+def _solve_parts(
+    f, gl, gr, inv_dx, w, invd, du, q, *, stencil, sm_params, sublanes, interpret
+):
+    n, B = f.shape
+    halo = gl.shape[0]
     tile = sublanes * LANE
     Bp = -(-B // tile) * tile
     if Bp != B:
-        f_ext = jnp.pad(f_ext, ((0, 0), (0, Bp - B)))
-    w, invd, du, q = _kernel_tables(scheme, n)
-    dt = f_ext.dtype
-    inv_dx_arr = jnp.asarray(inv_dx, dt).reshape(1)
-    out = _call_fused_tables(
-        f_ext,
-        inv_dx_arr,
-        jnp.asarray(w, dt),
-        jnp.asarray(invd, dt),
-        jnp.asarray(du, dt),
-        jnp.asarray(q, dt),
-        stencil=_stencil(scheme),
-        sm_params=_sm_params(scheme, n),
+        pad = ((0, 0), (0, Bp - B))
+        f, gl, gr = jnp.pad(f, pad), jnp.pad(gl, pad), jnp.pad(gr, pad)
+    dt = f.dtype
+    out = _call_fused(
+        f,
+        gl,
+        gr,
+        jnp.asarray(inv_dx, dt).reshape(1),
+        w.astype(dt),
+        invd.astype(dt),
+        du.astype(dt),
+        q.astype(dt),
+        stencil=stencil,
+        sm_params=sm_params,
         n=n,
         halo=halo,
         sublanes=sublanes,
@@ -231,8 +272,47 @@ def solve_lines_pallas(
     return out[:, :B] if Bp != B else out
 
 
+def solve_lines_pallas(
+    f: jax.Array,
+    inv_dx,
+    scheme: CompactScheme,
+    gl: jax.Array = None,
+    gr: jax.Array = None,
+    *,
+    sublanes: int = DEFAULT_SUBLANES,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused derivative of lines ``f`` of shape (n, B) with trace-time tables.
+
+    ``gl``/``gr`` are the (w, B) ghost/halo rows left/right of the block
+    (closure ghosts at physical boundaries, wrap rows for periodic). If
+    omitted they are derived from ``scheme`` and ``f``.
+    """
+    if gl is None or gr is None:
+        gl, gr = closure_ghosts(f, scheme)
+    n = f.shape[0]
+    w, invd, du, q = _kernel_tables(scheme, n)
+    dt = f.dtype
+    return _solve_parts(
+        f,
+        gl,
+        gr,
+        inv_dx,
+        jnp.asarray(w, dt),
+        jnp.asarray(invd, dt),
+        jnp.asarray(du, dt),
+        jnp.asarray(q, dt),
+        stencil=_stencil(scheme),
+        sm_params=_sm_params(scheme, n),
+        sublanes=sublanes,
+        interpret=interpret,
+    )
+
+
 def solve_lines_tables_pallas(
-    f_ext: jax.Array,
+    f: jax.Array,
+    gl: jax.Array,
+    gr: jax.Array,
     inv_dx,
     w: jax.Array,
     invd: jax.Array,
@@ -246,32 +326,23 @@ def solve_lines_tables_pallas(
 
     Used by the distributed path, where each shard's local block matrix
     differs (boundary vs interior blocks) and the tables arrive as sharded
-    operands rather than trace-time constants. Always acyclic (the
-    inter-shard couplings are carried by the substructuring method).
-    """
-    halo = scheme.stencil_width
-    n = f_ext.shape[0] - 2 * halo
-    B = f_ext.shape[1]
-    tile = sublanes * LANE
-    Bp = -(-B // tile) * tile
-    if Bp != B:
-        f_ext = jnp.pad(f_ext, ((0, 0), (0, Bp - B)))
-    dt = f_ext.dtype
-    out = _call_fused_tables(
-        f_ext,
-        jnp.asarray(inv_dx, dt).reshape(1),
-        w.astype(dt),
-        invd.astype(dt),
-        du.astype(dt),
-        jnp.zeros((n,), dt),
+    operands rather than trace-time constants; halo rows gl/gr arrive from
+    ppermute. Always acyclic (inter-shard couplings ride the substructuring
+    method)."""
+    return _solve_parts(
+        f,
+        gl,
+        gr,
+        inv_dx,
+        w,
+        invd,
+        du,
+        jnp.zeros((f.shape[0],), f.dtype),
         stencil=_stencil(scheme),
         sm_params=None,
-        n=n,
-        halo=halo,
         sublanes=sublanes,
         interpret=interpret,
     )
-    return out[:, :B] if Bp != B else out
 
 
 def fused_derivative_lines(
@@ -292,12 +363,8 @@ def fused_derivative_lines(
     bshape = f.shape[1:]
     compute_dtype = jnp.float32 if f.dtype == jnp.bfloat16 else f.dtype
     flat = f.reshape(n, -1).astype(compute_dtype)
-    halo = scheme.stencil_width
-    gl, gr = closure_ghosts(flat, scheme)
-    f_ext = jnp.concatenate([gl, flat, gr], axis=0)
-    assert f_ext.shape[0] == n + 2 * halo
     out = solve_lines_pallas(
-        f_ext,
+        flat,
         jnp.asarray(1.0, compute_dtype) / jnp.asarray(dx, compute_dtype),
         scheme,
         sublanes=sublanes,

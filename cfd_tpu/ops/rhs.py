@@ -37,52 +37,63 @@ def stencil_rhs(f_ext: jnp.ndarray, inv_dx, scheme: CompactScheme) -> jnp.ndarra
     return r * jnp.asarray(inv_dx, dtype)
 
 
-def _shift(f, k):
-    """f[i+k] along axis 0, zero-filled (acyclic)."""
-    n = f.shape[0]
-    if k == 0:
-        return f
-    pad = [(0, 0)] * (f.ndim - 1)
-    if k > 0:
-        return jnp.pad(f[k:], [(0, k)] + pad)
-    return jnp.pad(f[:k], [(-k, 0)] + pad)
-
-
-def compact_rhs(f: jnp.ndarray, dx, scheme: CompactScheme) -> jnp.ndarray:
-    """RHS of the compact system for ``f`` of shape (n, *batch).
+def compact_rhs(f: jnp.ndarray, dx, scheme: CompactScheme, axis: int = 0):
+    """RHS of the compact system for ``f`` along ``axis``.
 
     Returns sum_k w_k (f[i+k] - f[i-k]) / dx with closure rows installed at
-    both ends for non-periodic schemes.
+    both ends for non-periodic schemes. Axis-aware so pencil-major fields
+    never need a transpose.
     """
+    import jax.lax as lax
+
     dtype = f.dtype
-    n = f.shape[0]
+    axis = axis % f.ndim
+    n = f.shape[axis]
+
+    def sl(lo, hi):
+        return lax.slice_in_dim(f, lo, hi, axis=axis)
+
+    def shift(k):
+        if k == 0:
+            return f
+        pad = [(0, 0)] * f.ndim
+        if k > 0:
+            pad[axis] = (0, k)
+            return jnp.pad(sl(k, n), pad)
+        pad[axis] = (-k, 0)
+        return jnp.pad(sl(0, n + k), pad)
+
     if scheme.periodic:
         r = jnp.zeros_like(f)
         for k, w in zip(scheme.rhs_offsets, scheme.rhs_weights):
             r = r + jnp.asarray(w, dtype) * (
-                jnp.roll(f, -k, axis=0) - jnp.roll(f, k, axis=0)
+                jnp.roll(f, -k, axis=axis) - jnp.roll(f, k, axis=axis)
             )
         return r / jnp.asarray(dx, dtype)
 
     r = jnp.zeros_like(f)
     for k, w in zip(scheme.rhs_offsets, scheme.rhs_weights):
-        r = r + jnp.asarray(w, dtype) * (_shift(f, k) - _shift(f, -k))
+        r = r + jnp.asarray(w, dtype) * (shift(k) - shift(-k))
     # closure rows (nb >= stencil_width for all shipped schemes, so exactly
     # the rows whose interior stencil poked outside get overwritten)
     nb = scheme.n_closure
     assert nb >= scheme.stencil_width, scheme.name
     top = []
     for row in scheme.left_rows:
-        s = np.asarray(row.rhs_stencil)
-        top.append(jnp.tensordot(jnp.asarray(s, dtype), f[: len(s)], axes=(0, 0)))
+        s = jnp.asarray(np.asarray(row.rhs_stencil), dtype)
+        top.append(jnp.tensordot(s, sl(0, len(row.rhs_stencil)), axes=(0, axis)))
     bot = []
-    for j, row in enumerate(scheme.right_rows):
-        s = np.asarray(row.rhs_stencil[::-1])  # weights for f[n-m .. n-1]
-        bot.append(jnp.tensordot(jnp.asarray(s, dtype), f[-len(s) :], axes=(0, 0)))
+    for row in scheme.right_rows:
+        s = jnp.asarray(np.asarray(row.rhs_stencil[::-1]), dtype)
+        bot.append(
+            jnp.tensordot(s, sl(n - len(row.rhs_stencil), n), axes=(0, axis))
+        )
+    # tensordot removes ``axis``; re-insert it for stacking
+    top = [jnp.expand_dims(t, axis) for t in top]
+    bot = [jnp.expand_dims(b, axis) for b in bot]
     r = jnp.concatenate(
-        [jnp.stack(top), r[nb : n - nb]]
-        + [jnp.stack(bot[::-1])],  # bot[j] is row n-1-j; stack in ascending order
-        axis=0,
+        top + [lax.slice_in_dim(r, nb, n - nb, axis=axis)] + bot[::-1],
+        axis=axis,
     )
     return r / jnp.asarray(dx, dtype)
 

@@ -201,28 +201,40 @@ def pcr_factor(dl, d, du) -> PCRFactors:
     return PCRFactors(k1=k1s, k2=k2s, invb=1.0 / b)
 
 
-def pcr_solve(factors: PCRFactors, rhs: jax.Array) -> jax.Array:
-    """Apply precomputed PCR tables to ``rhs`` (shape (n, *batch))."""
+def pcr_solve(factors: PCRFactors, rhs: jax.Array, axis: int = 0) -> jax.Array:
+    """Apply precomputed PCR tables to ``rhs`` along ``axis``.
+
+    Axis-aware so the solve can run along the minor (lane) dimension of a
+    pencil-major field with no transposes — every level is a shifted fused
+    multiply-add over the whole batch.
+    """
     dtype = rhs.dtype
+    axis = axis % rhs.ndim
     k1 = jnp.asarray(factors.k1, dtype)
     k2 = jnp.asarray(factors.k2, dtype)
     invb = jnp.asarray(factors.invb, dtype)
-    n = rhs.shape[0]
-    nb = rhs.ndim - 1
+    n = rhs.shape[axis]
 
     def bcast(x):
-        return x.reshape(x.shape + (1,) * nb)
+        shape = [1] * rhs.ndim
+        shape[axis] = n
+        return x.reshape(shape)
+
+    def shift_down(d, s):  # d[i-s] along axis, zero-filled at the start
+        pad = [(0, 0)] * rhs.ndim
+        pad[axis] = (s, 0)
+        return jnp.pad(jax.lax.slice_in_dim(d, 0, n - s, axis=axis), pad)
+
+    def shift_up(d, s):  # d[i+s], zero-filled at the end
+        pad = [(0, 0)] * rhs.ndim
+        pad[axis] = (0, s)
+        return jnp.pad(jax.lax.slice_in_dim(d, s, n, axis=axis), pad)
 
     d = rhs
     levels = k1.shape[0]
     for l in range(levels):
         s = 1 << l
-        pad = [(0, 0)] * rhs.ndim
-        # d[i-s], zero-filled at the top
-        dm = jnp.pad(d[: n - s], [(s, 0)] + pad[1:])
-        # d[i+s], zero-filled at the bottom
-        dp = jnp.pad(d[s:], [(0, s)] + pad[1:])
-        d = d - bcast(k1[l]) * dm - bcast(k2[l]) * dp
+        d = d - bcast(k1[l]) * shift_down(d, s) - bcast(k2[l]) * shift_up(d, s)
     return bcast(invb) * d
 
 
@@ -259,29 +271,39 @@ def cyclic_factor(
     return CyclicFactors(core=core, q=q, v0=v0, vn=vn, inv_denom=1.0 / denom)
 
 
-def cyclic_solve(factors: CyclicFactors, rhs: jax.Array) -> jax.Array:
-    """Solve the cyclic system for every column of ``rhs`` ((n, *batch))."""
+def cyclic_solve(factors: CyclicFactors, rhs: jax.Array, axis: int = 0) -> jax.Array:
+    """Solve the cyclic system against ``rhs`` along ``axis``."""
     dtype = rhs.dtype
+    axis = axis % rhs.ndim
     core = factors.core
     if isinstance(core, PCRFactors):
-        y = pcr_solve(core, rhs)
-    else:
+        y = pcr_solve(core, rhs, axis=axis)
+    elif axis == 0:
         y = thomas_solve(core, rhs)
+    else:
+        y = jnp.moveaxis(thomas_solve(core, jnp.moveaxis(rhs, axis, 0)), 0, axis)
     q = jnp.asarray(factors.q, dtype)
-    nb = rhs.ndim - 1
-    q = q.reshape(q.shape + (1,) * nb)
-    vy = factors.v0 * y[0] + factors.vn * y[-1]
+    shape = [1] * rhs.ndim
+    shape[axis] = q.shape[0]
+    q = q.reshape(shape)
+    y0 = jax.lax.index_in_dim(y, 0, axis=axis, keepdims=True)
+    yn = jax.lax.index_in_dim(y, y.shape[axis] - 1, axis=axis, keepdims=True)
+    vy = factors.v0 * y0 + factors.vn * yn
     return y - q * (jnp.asarray(factors.inv_denom, dtype) * vy)
 
 
-def solve(factors, rhs: jax.Array) -> jax.Array:
-    """Dispatch on factor type."""
+def solve(factors, rhs: jax.Array, axis: int = 0) -> jax.Array:
+    """Dispatch on factor type; solves along ``axis``."""
     if isinstance(factors, ThomasFactors):
-        return thomas_solve(factors, rhs)
+        if axis % rhs.ndim == 0:
+            return thomas_solve(factors, rhs)
+        return jnp.moveaxis(
+            thomas_solve(factors, jnp.moveaxis(rhs, axis, 0)), 0, axis % rhs.ndim
+        )
     if isinstance(factors, PCRFactors):
-        return pcr_solve(factors, rhs)
+        return pcr_solve(factors, rhs, axis=axis)
     if isinstance(factors, CyclicFactors):
-        return cyclic_solve(factors, rhs)
+        return cyclic_solve(factors, rhs, axis=axis)
     raise TypeError(f"unknown factor type {type(factors)}")
 
 

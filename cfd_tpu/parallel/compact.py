@@ -60,6 +60,8 @@ class DirectionTables:
                            and (p, nl)
     * ``tw, tinvd, tdu`` — Thomas tables of the local block, (p, nl) each
                            (consumed by the fused Pallas kernel)
+    * ``tinv``           — dense inverses of the local blocks, (p, nl, nl)
+                           (consumed by the MXU 'matmul' path)
     * ``uh, lh``         — unit-load secondary solutions, (p, nl)
     * ``rinv_rows``      — own rows of the reduced-matrix inverse, (p, 2, 2p)
     """
@@ -70,6 +72,7 @@ class DirectionTables:
     tw: np.ndarray
     tinvd: np.ndarray
     tdu: np.ndarray
+    tinv: np.ndarray
     uh: np.ndarray
     lh: np.ndarray
     rinv_rows: np.ndarray
@@ -91,7 +94,9 @@ def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
     periodic = scheme.periodic
     alpha = scheme.alpha
 
-    k1s, k2s, invbs, tws, tinvds, tdus, uhs, lhs_ = [], [], [], [], [], [], [], []
+    k1s, k2s, invbs, tws, tinvds, tdus, tinvs, uhs, lhs_ = (
+        [], [], [], [], [], [], [], [], [],
+    )
     for r in range(p):
         first = (r == 0) and not periodic
         last = (r == p - 1) and not periodic
@@ -104,6 +109,9 @@ def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
         tws.append(tf.w)
         tinvds.append(tf.invd)
         tdus.append(tf.du)
+        dl_, d_, du_ = bands
+        T = np.diag(d_) + np.diag(dl_[1:], -1) + np.diag(du_[:-1], 1)
+        tinvs.append(np.linalg.inv(T))
         # unit-load secondary systems (compact.py:128-154): the coupling of
         # this block's first/last row to its neighbours is the interior
         # off-diagonal alpha; closure rows at physical ends have none.
@@ -164,6 +172,7 @@ def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
         tw=np.stack(tws),
         tinvd=np.stack(tinvds),
         tdu=np.stack(tdus),
+        tinv=np.stack(tinvs),
         uh=uh,
         lh=lh,
         rinv_rows=rinv_rows,
@@ -194,13 +203,15 @@ def _dist_lines(
     if p == 1:
         # the line is whole on this shard: take the single-device path,
         # which installs closures / cyclic corners directly
-        from ..ops.derivatives import _derivative_lines
+        from ..ops.derivatives import _derivative_lines, derivative
 
+        if method == "matmul":
+            return derivative(fl, 1.0 / inv_dx, scheme, axis=0, method=method)
         return _derivative_lines(
             fl, 1.0 / inv_dx, scheme, method, interpret=interpret
         )
 
-    k1, k2, invb, tw, tinvd, tdu, uh, lh, rinv_rows = tables
+    k1, k2, invb, tw, tinvd, tdu, tinv, uh, lh, rinv_rows = tables
     w = scheme.stencil_width
     nl = fl.shape[0]
     bshape = fl.shape[1:]
@@ -213,14 +224,15 @@ def _dist_lines(
         ridx = lax.axis_index(axis_name)
         left = jnp.where(ridx == 0, gl, left)
         right = jnp.where(ridx == p - 1, gr, right)
-    f_ext = jnp.concatenate([left, fl, right], axis=0)
 
     # --- local primary solve against the true RHS -------------------------
     if method == "pallas":
         from ..ops.pallas_fused import solve_lines_tables_pallas
 
         x_r = solve_lines_tables_pallas(
-            f_ext.reshape(nl + 2 * w, -1),
+            fl.reshape(nl, -1),
+            left.reshape(w, -1),
+            right.reshape(w, -1),
             inv_dx,
             tw[0].astype(dtype),
             tinvd[0].astype(dtype),
@@ -228,7 +240,15 @@ def _dist_lines(
             scheme=scheme,
             interpret=interpret,
         ).reshape((nl,) + bshape)
+    elif method == "matmul":
+        f_ext = jnp.concatenate([left, fl, right], axis=0)
+        rhs = stencil_rhs(f_ext, inv_dx, scheme)
+        prec = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        x_r = jnp.tensordot(
+            tinv[0].astype(dtype), rhs, axes=([1], [0]), precision=prec
+        )
     else:
+        f_ext = jnp.concatenate([left, fl, right], axis=0)
         rhs = stencil_rhs(f_ext, inv_dx, scheme)
         x_r = _local_solve_pcr(k1[0], k2[0], invb[0], rhs)
 
@@ -273,10 +293,10 @@ class DistributedCompactSolver:
         self,
         grid: Grid,
         *,
-        method: str = "pcr",
+        method: str = "auto",
         interpret: bool = False,
     ):
-        if method not in ("pcr", "pallas"):
+        if method not in ("auto", "pcr", "pallas", "matmul"):
             raise ValueError(f"unknown method {method!r}")
         self.grid = grid
         self.method = method
@@ -293,6 +313,9 @@ class DistributedCompactSolver:
         tables = direction_tables(scheme, n, p)
         dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
         arrays = tables.as_arrays(dtype)
+        from ..ops.derivatives import resolve_method
+
+        method = resolve_method(self.method, f.dtype, n // p)
 
         spec = grid.spec()
         tab_specs = tuple(P(axis_name) for _ in arrays)
@@ -306,7 +329,7 @@ class DistributedCompactSolver:
                 axis_name=axis_name,
                 p=p,
                 inv_dx=inv_dx,
-                method=self.method,
+                method=method,
                 interpret=self.interpret,
             )
             return jnp.moveaxis(x, 0, axis3 - 3)
@@ -344,3 +367,46 @@ class DistributedCompactSolver:
             self.dfdz(ux) - self.dfdx(uz),
             self.dfdx(uy) - self.dfdy(ux),
         )
+
+    def profile_dfdx(self, f, verbose: bool = True):
+        """Per-phase wall-clock breakdown of one dfdx, reference-style.
+
+        The analogue of the @timeit phase report the reference prints for
+        compute_RHS / primary / reduced / sum (code/cuda/timer.py:4-16,
+        compact.py:46-65). Each phase is dispatched and synced separately,
+        so the numbers include per-dispatch overhead — indicative on
+        tunnelled runtimes, accurate on locally attached devices; use
+        utils.timing.chain_time on the full op for benchmark figures.
+        """
+        import numpy as np
+
+        from ..utils.timing import phase_timer
+
+        grid = self.grid
+        scheme = grid.scheme
+        axis_name = AXIS_NAMES[2]
+        p = grid.proc_shape[2]
+        w = scheme.stencil_width
+        spec = grid.spec()
+        timings = {}
+
+        def run(name, fn, *args):
+            with phase_timer(name, verbose=verbose) as t:
+                out = fn(*args)
+                np.asarray(jax.tree_util.tree_leaves(out)[0])  # force sync
+            timings[name] = t.elapsed
+            return out
+
+        halo = shard_map(
+            lambda fl: jnp.concatenate(
+                halo_slices(jnp.moveaxis(fl, -1, 0), axis_name, w, scheme.periodic),
+                axis=0,
+            ),
+            mesh=grid.mesh,
+            in_specs=spec,
+            out_specs=spec,
+            check_vma=False,
+        )
+        run("halo_exchange", jax.jit(halo), f)
+        run("full_dfdx", jax.jit(self.dfdx), f)
+        return timings

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["halo_slices", "exchange_1d"]
+__all__ = ["halo_slices", "exchange_1d", "exchange_3d"]
 
 
 def halo_slices(fl: jax.Array, axis_name: str, width: int, periodic: bool):
@@ -50,3 +50,27 @@ def exchange_1d(
     """Return ``fl`` extended with halos: shape (width + n + width, ...)."""
     left, right = halo_slices(fl, axis_name, width, periodic)
     return jnp.concatenate([left, fl, right], axis=0)
+
+
+def exchange_3d(
+    fl: jax.Array,
+    width: int = 1,
+    periodic=(False, False, False),
+    axis_names=("z", "y", "x"),
+) -> jax.Array:
+    """Full 6-face halo exchange of a local block [..., nz_l, ny_l, nx_l].
+
+    The one-call equivalent of the reference DA's ``global_to_local``
+    (gpuDA.py:61-132): returns the block grown by ``width`` ghost cells on
+    every side of the trailing three axes. Open (non-periodic) physical
+    edges receive zeros, matching the reference's untouched-ghost semantics.
+    Corner/edge ghost regions are exchanged consistently because each axis
+    pass forwards the halos received in earlier passes.
+    """
+    out = fl
+    for k, (name, per) in enumerate(zip(axis_names, periodic)):
+        ax = out.ndim - 3 + k
+        moved = jnp.moveaxis(out, ax, 0)
+        moved = exchange_1d(moved, name, width, per)
+        out = jnp.moveaxis(moved, 0, ax)
+    return out

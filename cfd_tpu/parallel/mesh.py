@@ -91,7 +91,16 @@ class Grid:
         return tuple(out)
 
     def distribute(self, f):
-        """Place a global field [nz, ny, nx] with the pencil sharding."""
+        """Place a global field [nz, ny, nx] with the pencil sharding.
+
+        The TPU counterpart of the reference's root-IO block scatter
+        (``DA_scatter_blocks``, gpuDA.py:434-460): XLA moves each pencil to
+        its owning device."""
         if f.shape[-3:] != self.shape:
             raise ValueError(f"field shape {f.shape} != grid {self.shape}")
         return jax.device_put(f, self.sharding)
+
+    def gather(self, f) -> np.ndarray:
+        """Fetch a sharded field to a host numpy array (``DA_gather_blocks``
+        analogue, gpuDA.py:462-488)."""
+        return np.asarray(f)

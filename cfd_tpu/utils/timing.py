@@ -60,22 +60,28 @@ def chain_time(
     small = _build_chain(step, k_small)
     big = _build_chain(step, k_big)
 
-    def sync_run(fn):
+    # Distinct inputs per timed run: tunnelled runtimes have been observed to
+    # memoize (executable, argument) pairs, so re-running on identical args
+    # measures the cache, not the device. The perturbed variants are
+    # materialized before timing starts.
+    variants = [jax.block_until_ready(x * (1.0 + 1e-6 * i)) for i in range(repeats + 1)]
+
+    def sync_run(fn, xi):
         # a host readback of a value derived from the result is the only
         # sync that provably waits for execution on tunnelled runtimes
         # (block_until_ready has been observed to return at enqueue)
-        r = fn(x)
+        r = fn(xi)
         return float(np.asarray(jnp.sum(r[..., :1, :1])))
 
-    # compile + warm both
-    sync_run(small)
-    sync_run(big)
+    # compile + warm both on a variant never used for timing
+    sync_run(small, variants[-1])
+    sync_run(big, variants[-1])
 
     def best_of(fn):
         best = float("inf")
-        for _ in range(repeats):
+        for i in range(repeats):
             t0 = time.perf_counter()
-            sync_run(fn)
+            sync_run(fn, variants[i])
             best = min(best, time.perf_counter() - t0)
         return best
 

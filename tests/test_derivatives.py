@@ -31,7 +31,7 @@ def _field(nz=6, ny=8, nx=32):
 
 
 @pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
-@pytest.mark.parametrize("method", ["pcr", "thomas"])
+@pytest.mark.parametrize("method", ["pcr", "thomas", "matmul"])
 def test_rhs_and_solve_vs_oracle(rng, scheme, method):
     n = 32
     f = rng.standard_normal((n, 5, 3))
@@ -136,6 +136,27 @@ def test_pallas_interpret_vs_oracle(rng, scheme):
     )
     expect = derivative_np(scheme, f, dx, axis=0)
     np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+
+
+def test_matmul_method_f32(rng):
+    # the MXU dense-operator path at f32: roundoff-level agreement
+    f = rng.standard_normal((6, 4, 64)).astype(np.float32)
+    got = np.asarray(
+        cfd_tpu.derivative(jnp.asarray(f), 0.05, SCHEME4, axis=-1, method="matmul")
+    )
+    ref = derivative_np(SCHEME4, f, 0.05, axis=-1)
+    rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert rel < 5e-6, rel
+
+
+@pytest.mark.parametrize("axis", [-1, -2, -3])
+def test_matmul_axis_handling(rng, axis):
+    f = rng.standard_normal((8, 12, 16))
+    got = np.asarray(
+        cfd_tpu.derivative(jnp.asarray(f), 0.1, SCHEME6, axis=axis, method="matmul")
+    )
+    ref = derivative_np(SCHEME6, f, 0.1, axis=axis)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-11)
 
 
 def test_pallas_rejects_f64():

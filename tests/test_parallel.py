@@ -209,6 +209,21 @@ def test_distributed_jit_end_to_end():
     np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-11)
 
 
+@pytest.mark.parametrize("scheme", [SCHEME4, SCHEME6_PERIODIC], ids=["p4", "p6per"])
+def test_distributed_matmul_method(scheme):
+    # the MXU dense-operator local solve, forced on the CPU mesh
+    mesh = _mesh((1, 1, 4))
+    shape = (8, 8, 32)
+    spacing = (0.1, 0.1, 0.05)
+    grid = Grid(mesh, shape, spacing, scheme)
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="matmul")
+    rng = np.random.default_rng(13)
+    f = rng.standard_normal(shape)
+    got = np.asarray(solver.dfdx(grid.distribute(jnp.asarray(f))))
+    expect = derivative_np(scheme, f, spacing[2], axis=2)
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-11)
+
+
 def test_distributed_pallas_interpret():
     # the fused-kernel distributed path, interpreter mode, f32
     mesh = _mesh((1, 1, 4))
@@ -220,3 +235,49 @@ def test_distributed_pallas_interpret():
     got = np.asarray(solver.dfdx(grid.distribute(jnp.asarray(f))))
     expect = derivative_np(SCHEME4, f, 0.05, axis=2)
     np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+
+
+def test_exchange_3d_corners():
+    from cfd_tpu.parallel.halo import exchange_3d
+
+    mesh = _mesh((2, 2, 2))
+    g = Grid(mesh, (8, 8, 8), (1.0, 1.0, 1.0))
+    f = np.arange(512, dtype=np.float64).reshape(8, 8, 8)
+    fj = g.distribute(jnp.asarray(f))
+    out = np.asarray(
+        shard_map(
+            lambda fl: exchange_3d(fl, 1, (True, True, True)),
+            mesh=mesh,
+            in_specs=P("z", "y", "x"),
+            out_specs=P("z", "y", "x"),
+        )(fj)
+    )
+    blk = out[:6, :6, :6]  # shard (0,0,0) extended block
+    np.testing.assert_array_equal(blk[1:5, 1:5, 1:5], f[0:4, 0:4, 0:4])
+    np.testing.assert_array_equal(blk[1:5, 1:5, 0], f[0:4, 0:4, 7])  # x wrap
+    assert blk[0, 0, 0] == f[7, 7, 7]  # corner wrap, all three axes
+
+
+def test_exchange_3d_open_edges_zero():
+    from cfd_tpu.parallel.halo import exchange_3d
+
+    mesh = _mesh((2, 2, 2))
+    g = Grid(mesh, (8, 8, 8), (1.0, 1.0, 1.0))
+    f = jnp.ones((8, 8, 8), jnp.float64)
+    out = np.asarray(
+        shard_map(
+            lambda fl: exchange_3d(fl, 1, (False, False, False)),
+            mesh=mesh,
+            in_specs=P("z", "y", "x"),
+            out_specs=P("z", "y", "x"),
+        )(g.distribute(f))
+    )
+    assert out[0, 1, 1] == 0.0  # open z edge ghost untouched (zero)
+    assert out[1, 1, 1] == 1.0
+
+
+def test_grid_gather_roundtrip(rng):
+    mesh = _mesh((2, 2, 2))
+    g = Grid(mesh, (8, 8, 8), (1.0, 1.0, 1.0))
+    f = rng.standard_normal((8, 8, 8))
+    np.testing.assert_array_equal(g.gather(g.distribute(jnp.asarray(f))), f)
