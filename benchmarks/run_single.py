@@ -93,7 +93,7 @@ def bench_full_derivative(n, results):
     dx = 2 * math.pi / n
     rng = np.random.default_rng(1)
     f = jnp.asarray(rng.random((n, n, n), np.float32))
-    method = "pallas" if jax.default_backend() != "cpu" else "pcr"
+    method = "auto"
     for name, step in (
         ("dfdx", lambda g: cfd_tpu.dfdx(g, dx, SCHEME4, method=method)),
         ("dfdy", lambda g: cfd_tpu.dfdy(g, dx, SCHEME4, method=method)),

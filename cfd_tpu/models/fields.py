@@ -38,8 +38,10 @@ def taylor_green(z, y, x, t: float = 0.0, nu: float = 0.0):
     with F(t) = exp(-2 nu t). Divergence-free by construction — the standard
     correctness probe for gradient/divergence/curl pipelines.
     """
+    import math
+
     Z, Y, X = _meshgrid3(z, y, x)
-    F = jnp.exp(-2.0 * nu * t)
+    F = jnp.asarray(math.exp(-2.0 * nu * t), X.dtype)
     u = jnp.cos(X) * jnp.sin(Y) * jnp.sin(Z) * F
     v = -jnp.sin(X) * jnp.cos(Y) * jnp.sin(Z) * F
     w = jnp.zeros_like(u)

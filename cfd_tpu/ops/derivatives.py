@@ -136,9 +136,10 @@ def derivative(
     method = resolve_method(method, f.dtype, f.shape[axis])
     if method == "matmul":
         M = jnp.asarray(dense_operator(scheme, f.shape[axis]), f.dtype)
-        # MXU passes for f32 inputs: 'highest' (bf16x6, ~1e-7 rel err) or
-        # 'high' (bf16x3, ~1e-5 rel err, half the MXU cost); bf16 inputs
-        # always take the fast single pass.
+        # MXU passes for f32 inputs: 'highest' (bf16x6, ~1e-6 abs err on
+        # smooth fields) is the default; 'high' (bf16x3) halves the MXU cost
+        # but coherent truncation on smooth data costs ~1e-4 absolute. bf16
+        # inputs always take the fast single pass.
         prec = matmul_precision if f.dtype != jnp.bfloat16 else None
         out = jnp.tensordot(f, M, axes=([axis], [1]), precision=prec)
         # tensordot appends M's free dim at the end; restore the axis position
@@ -155,19 +156,19 @@ def derivative(
     return jnp.moveaxis(x, 0, axis)
 
 
-def dfdx(f, dx, scheme: CompactScheme = SCHEME4, *, method: str = "auto"):
+def dfdx(f, dx, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
     """d/dx — derivative along the last axis of ``[..., nz, ny, nx]``."""
-    return derivative(f, dx, scheme, axis=-1, method=method)
+    return derivative(f, dx, scheme, axis=-1, method=method, **kw)
 
 
-def dfdy(f, dy, scheme: CompactScheme = SCHEME4, *, method: str = "auto"):
+def dfdy(f, dy, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
     """d/dy — derivative along the second-to-last axis."""
-    return derivative(f, dy, scheme, axis=-2, method=method)
+    return derivative(f, dy, scheme, axis=-2, method=method, **kw)
 
 
-def dfdz(f, dz, scheme: CompactScheme = SCHEME4, *, method: str = "auto"):
+def dfdz(f, dz, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
     """d/dz — derivative along the third-to-last axis."""
-    return derivative(f, dz, scheme, axis=-3, method=method)
+    return derivative(f, dz, scheme, axis=-3, method=method, **kw)
 
 
 def _spacings3(spacing):

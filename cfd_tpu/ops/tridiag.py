@@ -288,7 +288,8 @@ def cyclic_solve(factors: CyclicFactors, rhs: jax.Array, axis: int = 0) -> jax.A
     q = q.reshape(shape)
     y0 = jax.lax.index_in_dim(y, 0, axis=axis, keepdims=True)
     yn = jax.lax.index_in_dim(y, y.shape[axis] - 1, axis=axis, keepdims=True)
-    vy = factors.v0 * y0 + factors.vn * yn
+    # v0/vn/inv_denom are numpy float64 scalars; cast so f32 inputs stay f32
+    vy = jnp.asarray(factors.v0, dtype) * y0 + jnp.asarray(factors.vn, dtype) * yn
     return y - q * (jnp.asarray(factors.inv_denom, dtype) * vy)
 
 

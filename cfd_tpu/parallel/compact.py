@@ -91,6 +91,18 @@ def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
     if n % p:
         raise ValueError(f"global extent {n} not divisible by mesh axis {p}")
     nl = n // p
+    if not scheme.periodic and scheme.left_rows:
+        widest = max(len(r.rhs_stencil) for r in scheme.left_rows)
+        if nl < widest:
+            raise ValueError(
+                f"local extent {nl} shorter than the closure stencil "
+                f"({widest} points) of scheme {scheme.name}; use fewer shards"
+            )
+    if nl < 2 * scheme.stencil_width + 1:
+        raise ValueError(
+            f"local extent {nl} too small for stencil width "
+            f"{scheme.stencil_width} (need >= {2 * scheme.stencil_width + 1})"
+        )
     periodic = scheme.periodic
     alpha = scheme.alpha
 
@@ -211,13 +223,33 @@ def _dist_lines(
             fl, 1.0 / inv_dx, scheme, method, interpret=interpret
         )
 
+    x_r = _phase_local_solve(
+        fl,
+        tables,
+        scheme=scheme,
+        axis_name=axis_name,
+        p=p,
+        inv_dx=inv_dx,
+        method=method,
+        interpret=interpret,
+    )
+    ab = _phase_reduced(x_r, tables, scheme=scheme, axis_name=axis_name, p=p)
+    return _phase_update(x_r, ab, tables)
+
+
+def _phase_local_solve(
+    fl, tables, *, scheme, axis_name, p, inv_dx, method, interpret
+):
+    """Halo/ghost assembly + RHS + local primary solve -> x_R.
+
+    Covers the reference phases ``compute_RHS`` + ``solve_primary_system``
+    (+ the host-side ``solve_secondary_systems``, which here is setup-time)."""
     k1, k2, invb, tw, tinvd, tdu, tinv, uh, lh, rinv_rows = tables
     w = scheme.stencil_width
     nl = fl.shape[0]
     bshape = fl.shape[1:]
     dtype = fl.dtype
 
-    # --- extended field: halos from neighbours, closure ghosts at walls ---
     left, right = halo_slices(fl, axis_name, w, scheme.periodic)
     if not scheme.periodic:
         gl, gr = closure_ghosts(fl, scheme)
@@ -225,11 +257,10 @@ def _dist_lines(
         left = jnp.where(ridx == 0, gl, left)
         right = jnp.where(ridx == p - 1, gr, right)
 
-    # --- local primary solve against the true RHS -------------------------
     if method == "pallas":
         from ..ops.pallas_fused import solve_lines_tables_pallas
 
-        x_r = solve_lines_tables_pallas(
+        return solve_lines_tables_pallas(
             fl.reshape(nl, -1),
             left.reshape(w, -1),
             right.reshape(w, -1),
@@ -240,19 +271,26 @@ def _dist_lines(
             scheme=scheme,
             interpret=interpret,
         ).reshape((nl,) + bshape)
-    elif method == "matmul":
-        f_ext = jnp.concatenate([left, fl, right], axis=0)
-        rhs = stencil_rhs(f_ext, inv_dx, scheme)
+    f_ext = jnp.concatenate([left, fl, right], axis=0)
+    rhs = stencil_rhs(f_ext, inv_dx, scheme)
+    if method == "matmul":
         prec = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-        x_r = jnp.tensordot(
+        return jnp.tensordot(
             tinv[0].astype(dtype), rhs, axes=([1], [0]), precision=prec
         )
-    else:
-        f_ext = jnp.concatenate([left, fl, right], axis=0)
-        rhs = stencil_rhs(f_ext, inv_dx, scheme)
-        x_r = _local_solve_pcr(k1[0], k2[0], invb[0], rhs)
+    return _local_solve_pcr(k1[0], k2[0], invb[0], rhs)
 
-    # --- reduced interface system (redundant on all shards) ---------------
+
+def _phase_reduced(x_r, tables, *, scheme, axis_name, p):
+    """Interface all_gather + redundant reduced solve -> (alpha, beta).
+
+    The reference's ``solve_reduced_system`` (compact.py:66-126) without the
+    rank-0 round trip: faces are negated/zeroed (negateAndCopyFaces
+    semantics, kernels.cu:76-113), gathered over the line axis, and hit with
+    this shard's two rows of the precomputed reduced-matrix inverse."""
+    rinv_rows = tables[-1]
+    dtype = x_r.dtype
+    bshape = x_r.shape[1:]
     face_f = -x_r[0]
     face_l = -x_r[-1]
     if not scheme.periodic:
@@ -263,18 +301,22 @@ def _dist_lines(
     faces = jnp.stack([face_f, face_l])  # (2, *batch)
     all_faces = lax.all_gather(faces, axis_name, axis=0, tiled=True)  # (2p, *b)
     flat = all_faces.reshape(2 * p, -1)
-    ab = jnp.dot(
+    return jnp.dot(
         rinv_rows[0].astype(dtype), flat, preferred_element_type=dtype
     ).reshape((2,) + bshape)
 
-    # --- rank-2 update x = x_R + alpha x_UH + beta x_LH --------------------
-    expand = (nl,) + (1,) * len(bshape)
-    x = (
+
+def _phase_update(x_r, ab, tables):
+    """Rank-2 update x = x_R + alpha x_UH + beta x_LH (``sum_solutions``,
+    kernels.cu:49-74)."""
+    uh, lh = tables[-3], tables[-2]
+    dtype = x_r.dtype
+    expand = (x_r.shape[0],) + (1,) * (x_r.ndim - 1)
+    return (
         x_r
         + ab[0] * uh[0].astype(dtype).reshape(expand)
         + ab[1] * lh[0].astype(dtype).reshape(expand)
     )
-    return x
 
 
 class DistributedCompactSolver:
@@ -380,33 +422,83 @@ class DistributedCompactSolver:
         """
         import numpy as np
 
+        from ..ops.derivatives import resolve_method
         from ..utils.timing import phase_timer
 
         grid = self.grid
         scheme = grid.scheme
         axis_name = AXIS_NAMES[2]
         p = grid.proc_shape[2]
-        w = scheme.stencil_width
+        n = grid.shape[2]
+        inv_dx = 1.0 / grid.spacing[2]
+        method = resolve_method(self.method, f.dtype, n // p)
+        tables = direction_tables(scheme, n, p)
+        dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
+        arrays = tables.as_arrays(dtype)
         spec = grid.spec()
+        tab_specs = tuple(P(axis_name) for _ in arrays)
         timings = {}
 
         def run(name, fn, *args):
+            jfn = jax.jit(fn)
+            out = jfn(*args)  # compile outside the timed region
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
             with phase_timer(name, verbose=verbose) as t:
-                out = fn(*args)
+                out = jfn(*args)
                 np.asarray(jax.tree_util.tree_leaves(out)[0])  # force sync
             timings[name] = t.elapsed
             return out
 
-        halo = shard_map(
-            lambda fl: jnp.concatenate(
-                halo_slices(jnp.moveaxis(fl, -1, 0), axis_name, w, scheme.periodic),
-                axis=0,
+        def smap(body, in_specs, out_specs):
+            return shard_map(
+                body,
+                mesh=grid.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+
+        local = smap(
+            lambda fl, *tabs: jnp.moveaxis(
+                _phase_local_solve(
+                    jnp.moveaxis(fl, -1, 0),
+                    tabs,
+                    scheme=scheme,
+                    axis_name=axis_name,
+                    p=p,
+                    inv_dx=inv_dx,
+                    method=method,
+                    interpret=self.interpret,
+                ),
+                0,
+                -1,
             ),
-            mesh=grid.mesh,
-            in_specs=spec,
-            out_specs=spec,
-            check_vma=False,
+            (spec,) + tab_specs,
+            spec,
         )
-        run("halo_exchange", jax.jit(halo), f)
-        run("full_dfdx", jax.jit(self.dfdx), f)
+        x_r = run("rhs_and_primary_solve", local, f, *arrays)
+        if p > 1:
+            ab_spec = P("x", "z", "y", None)
+
+            def reduced_body(xr, *tabs):
+                ab = _phase_reduced(
+                    jnp.moveaxis(xr, -1, 0),
+                    tabs,
+                    scheme=scheme,
+                    axis_name=axis_name,
+                    p=p,
+                )  # (2, zl, yl)
+                return jnp.moveaxis(ab, 0, -1)[None]  # (1, zl, yl, 2)
+
+            reduced = smap(reduced_body, (spec,) + tab_specs, ab_spec)
+            ab = run("reduced_system", reduced, x_r, *arrays)
+
+            def update_body(xr, abg, *tabs):
+                ab_local = jnp.moveaxis(abg[0], -1, 0)  # (2, zl, yl)
+                out = _phase_update(jnp.moveaxis(xr, -1, 0), ab_local, tabs)
+                return jnp.moveaxis(out, 0, -1)
+
+            update = smap(update_body, (spec, ab_spec) + tab_specs, spec)
+            run("sum_solutions", update, x_r, ab, *arrays)
+        run("full_dfdx", self.dfdx, f)
         return timings

@@ -1,5 +1,7 @@
 """Utilities: timing, configuration, coordinates."""
 
+from .checkpointing import restore_state, save_state
+from .profiling import trace
 from .timing import chain_time, phase_timer
 
-__all__ = ["chain_time", "phase_timer"]
+__all__ = ["chain_time", "phase_timer", "save_state", "restore_state", "trace"]

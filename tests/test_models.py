@@ -86,3 +86,17 @@ def test_advection_diffusion_distributed_matches_single():
     got = np.asarray(dist.step(grid.distribute(f0), ud, 1e-3))
     expect = np.asarray(single.step(f0, u, 1e-3))
     np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-10)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cfd_tpu.utils import restore_state, save_state
+
+    state = {"f": jnp.arange(12.0).reshape(3, 4), "step": np.asarray(7)}
+    p = str(tmp_path / "ckpt")
+    save_state(p, state)
+    back = restore_state(p)
+    np.testing.assert_array_equal(back["f"], np.asarray(state["f"]))
+    assert int(back["step"]) == 7
+    # resharding hook
+    back2 = restore_state(p, distribute=jnp.asarray)
+    assert isinstance(back2["f"], jax.Array)

@@ -281,3 +281,22 @@ def test_grid_gather_roundtrip(rng):
     g = Grid(mesh, (8, 8, 8), (1.0, 1.0, 1.0))
     f = rng.standard_normal((8, 8, 8))
     np.testing.assert_array_equal(g.gather(g.distribute(jnp.asarray(f))), f)
+
+
+def test_direction_tables_rejects_tiny_blocks():
+    from cfd_tpu.parallel.compact import direction_tables
+
+    with pytest.raises(ValueError, match="closure stencil|too small"):
+        direction_tables(SCHEME6, 32, 8)  # nl=4 < 6-point closure
+    with pytest.raises(ValueError, match="not divisible"):
+        direction_tables(SCHEME4, 30, 4)
+
+
+def test_profile_dfdx_phases():
+    mesh = _mesh((1, 1, 4))
+    grid = Grid(mesh, (4, 8, 32), (0.1, 0.1, 0.05), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    f = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8, 32)))
+    t = solver.profile_dfdx(f, verbose=False)
+    assert {"rhs_and_primary_solve", "reduced_system", "sum_solutions", "full_dfdx"} <= set(t)
+    assert all(v > 0 for v in t.values())
