@@ -41,15 +41,121 @@ _METHODS = ("auto", "pcr", "thomas", "pallas", "matmul")
 def resolve_method(method: str, dtype, n: int) -> str:
     """Resolve 'auto' to the fastest backend for this dtype/backend/size.
 
-    On TPU: the dense-operator MXU path wins for line lengths up to ~512
-    (measured on v5e; its FLOPs/point grow linearly with n), the fused
-    Pallas kernel beyond; float64 and CPU take the XLA-level PCR path.
+    On TPU (measured, v5e): the dense-operator MXU path wins for line
+    lengths up to ``_MATMUL_BLOCK``; beyond that the fused Pallas kernel is
+    faster (the blocked-substructuring matmul stays available via explicit
+    method='matmul' but spends more HBM passes than the fused kernel).
+    float64 and CPU take the XLA-level PCR path.
     """
     if method != "auto":
         return method
     if dtype == jnp.float64 or jax.default_backend() == "cpu":
         return "pcr"
-    return "matmul" if n <= 512 else "pallas"
+    return "matmul" if n <= _MATMUL_BLOCK else "pallas"
+
+
+# Block length for the blocked dense path; lines longer than this are split
+# into equal blocks coupled through the reduced interface system, exactly the
+# distributed substructuring math run shard-locally with zero collectives.
+_MATMUL_BLOCK = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_tables(scheme: CompactScheme, n: int, nb: int):
+    """(tinv (nb,m,m), uh (nb,m), lh (nb,m), rinv (2nb,2nb)) float64."""
+    from ..parallel.compact import direction_tables
+
+    t = direction_tables(scheme, n, nb)
+    rinv = t.rinv_rows.reshape(2 * nb, 2 * nb)
+    return t.tinv, t.uh, t.lh, rinv
+
+
+def _pick_blocks(n: int) -> int:
+    """Largest block count nb such that n/nb is an integer <= _MATMUL_BLOCK,
+    preferring block lengths around 256."""
+    for target in (256, 128, 512, 64):
+        if n % target == 0:
+            return n // target
+    # fall back: smallest nb dividing n with block <= _MATMUL_BLOCK
+    for nb in range(2, n + 1):
+        if n % nb == 0 and n // nb <= _MATMUL_BLOCK:
+            return nb
+    return 1
+
+
+def _letters(k):
+    return "abcdefghmnopqrstuvw"[:k]
+
+
+def _blocked_matmul_derivative(f, dx, scheme, axis, precision):
+    """Blocked dense substructuring along ``axis`` (single device).
+
+    The same math as the distributed solve (parallel/compact.py) with the
+    "shards" being contiguous blocks of the local line: per-block dense
+    inverses (batched MXU matmul), a (2nb, 2nb) reduced interface matmul,
+    and a rank-2 update. FLOPs/point stay O(block) for any n.
+    """
+    n = f.shape[axis]
+    nb = _pick_blocks(n)
+    if nb == 1:
+        M = jnp.asarray(dense_operator(scheme, n), f.dtype)
+        out = jnp.tensordot(f, M, axes=([axis], [1]), precision=precision)
+        return jnp.moveaxis(out, -1, axis) / jnp.asarray(dx, f.dtype)
+    m = n // nb
+    dtype = f.dtype
+    tinv, uh, lh, rinv = _blocked_tables(scheme, n, nb)
+    tinv = jnp.asarray(tinv, dtype)
+    uh = jnp.asarray(uh, dtype)
+    lh = jnp.asarray(lh, dtype)
+    rinv = jnp.asarray(rinv, dtype)
+
+    # full-line RHS (closures included), then split the axis into (nb, m)
+    rhs = compact_rhs(f, dx, scheme, axis=axis)
+    shape2 = f.shape[:axis] + (nb, m) + f.shape[axis + 1 :]
+    r2 = rhs.reshape(shape2)
+
+    nd = r2.ndim
+    subs = _letters(nd)
+    b, i = subs[axis], subs[axis + 1]
+    j = "z"
+    # x_R = T_b^{-1} r_b : batched over the block index
+    xr = jnp.einsum(
+        f"{subs},{b}{j}{i}->{subs.replace(i, j)}", r2, tinv, precision=precision
+    )
+    xr = xr  # dims: same but block-length dim labelled j (same position)
+
+    # interface faces, negated; identity rows at the physical ends demand
+    # zeros there (periodic lines keep all faces)
+    face_f = -jax.lax.index_in_dim(xr, 0, axis=axis + 1, keepdims=False)
+    face_l = -jax.lax.index_in_dim(xr, m - 1, axis=axis + 1, keepdims=False)
+    faces = jnp.stack([face_f, face_l], axis=axis + 1)  # (..., nb, 2, ...)
+    fshape = faces.shape[:axis] + (2 * nb,) + faces.shape[axis + 2 :]
+    faces = faces.reshape(fshape)
+    if not scheme.periodic:
+        mask = np.ones(2 * nb)
+        mask[0] = 0.0
+        mask[-1] = 0.0
+        mshape = [1] * faces.ndim
+        mshape[axis] = 2 * nb
+        faces = faces * jnp.asarray(mask, dtype).reshape(mshape)
+
+    # reduced solve: u = Rinv @ faces over the 2nb dim
+    fsubs = _letters(faces.ndim)
+    e = fsubs[axis]
+    u = jnp.einsum(
+        f"{fsubs},y{e}->{fsubs.replace(e, 'y')}", faces, rinv, precision=precision
+    )
+    ushape = u.shape[:axis] + (nb, 2) + u.shape[axis + 1 :]
+    u = u.reshape(ushape)
+    alpha = jax.lax.index_in_dim(u, 0, axis=axis + 1, keepdims=True)
+    beta = jax.lax.index_in_dim(u, 1, axis=axis + 1, keepdims=True)
+
+    # rank-2 update; uh/lh broadcast over everything but (nb, m)
+    tshape = [1] * nd
+    tshape[axis] = nb
+    tshape[axis + 1] = m
+    x = xr + alpha * uh.reshape(tshape) + beta * lh.reshape(tshape)
+    return x.reshape(f.shape)
 
 
 @functools.lru_cache(maxsize=None)
@@ -135,12 +241,16 @@ def derivative(
     axis = axis % f.ndim
     method = resolve_method(method, f.dtype, f.shape[axis])
     if method == "matmul":
-        M = jnp.asarray(dense_operator(scheme, f.shape[axis]), f.dtype)
         # MXU passes for f32 inputs: 'highest' (bf16x6, ~1e-6 abs err on
         # smooth fields) is the default; 'high' (bf16x3) halves the MXU cost
         # but coherent truncation on smooth data costs ~1e-4 absolute. bf16
         # inputs always take the fast single pass.
         prec = matmul_precision if f.dtype != jnp.bfloat16 else None
+        n = f.shape[axis]
+        if n > _MATMUL_BLOCK:
+            # long lines: blocked substructuring keeps FLOPs/point O(block)
+            return _blocked_matmul_derivative(f, dx, scheme, axis, prec)
+        M = jnp.asarray(dense_operator(scheme, n), f.dtype)
         out = jnp.tensordot(f, M, axes=([axis], [1]), precision=prec)
         # tensordot appends M's free dim at the end; restore the axis position
         out = jnp.moveaxis(out, -1, axis)

@@ -164,3 +164,32 @@ def test_pallas_rejects_f64():
 
     with pytest.raises(ValueError, match="float32"):
         fused_derivative_lines(jnp.zeros((16, 4), jnp.float64), 0.1, SCHEME4)
+
+
+@pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
+@pytest.mark.parametrize("axis", [-1, -3])
+def test_blocked_matmul_long_lines(rng, scheme, axis):
+    # lines longer than the whole-operator cutoff take the blocked
+    # substructuring path (per-block inverses + reduced interface matmul)
+    from cfd_tpu.ops.derivatives import _blocked_matmul_derivative
+
+    shape = [3, 4]
+    shape.insert({-1: 2, -3: 0}[axis], 1024)
+    f = rng.standard_normal(tuple(shape))
+    got = np.asarray(
+        _blocked_matmul_derivative(jnp.asarray(f), 0.01, scheme, axis % 3, None)
+    )
+    ref = derivative_np(scheme, f, 0.01, axis=axis)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-11)
+
+
+def test_blocked_matmul_odd_length(rng):
+    # non-power-of-two long line: block picker falls back to any divisor
+    from cfd_tpu.ops.derivatives import _blocked_matmul_derivative
+
+    f = rng.standard_normal((2, 3, 1000))
+    got = np.asarray(
+        _blocked_matmul_derivative(jnp.asarray(f), 0.02, SCHEME4, 2, None)
+    )
+    ref = derivative_np(SCHEME4, f, 0.02, axis=-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-11)
