@@ -41,7 +41,7 @@ class Derivs:
 
     @classmethod
     def single_device(
-        cls, spacing, scheme: CompactScheme = SCHEME4_PERIODIC, method: str = "pcr"
+        cls, spacing, scheme: CompactScheme = SCHEME4_PERIODIC, method: str = "auto"
     ):
         dz, dy, dx = (
             (spacing, spacing, spacing)

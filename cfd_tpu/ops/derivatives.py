@@ -35,7 +35,7 @@ __all__ = [
     "curl",
 ]
 
-_METHODS = ("auto", "pcr", "thomas", "pallas", "matmul")
+_METHODS = ("auto", "pcr", "thomas", "pallas", "matmul", "stencil")
 
 
 def resolve_method(method: str, dtype, n: int) -> str:
@@ -181,6 +181,93 @@ def dense_operator(scheme: CompactScheme, n: int):
 
 
 @functools.lru_cache(maxsize=None)
+def banded_operator(scheme: CompactScheme, n: int, tol: float = 1e-8):
+    """Truncated-banded form of the dense operator M = T^{-1} B.
+
+    Rows of M decay geometrically away from the diagonal (the tridiagonal
+    inverse decays like r^|i-j| with r ~ 0.27 for alpha=1/4), so M is a
+    constant-coefficient banded matrix up to ``tol`` — i.e. the implicit
+    compact scheme equals an *explicit* wide stencil to working precision.
+
+    Returns (c, E_top, E_bot, m):
+      c      — (2*bw+1,) interior stencil coefficients (center at bw)
+      E_top  — (m, m+bw) dense correction rows at the left edge
+      E_bot  — (m, m+bw) dense correction rows at the right edge (natural
+               orientation: applied to f[n-(m+bw):])
+      m      — number of corrected rows per edge (0 for periodic schemes,
+               whose M is circulant so the stencil alone is exact)
+    """
+    M = dense_operator(scheme, n)
+    mid = n // 2
+    row = M[mid]
+    rel = np.abs(row) / np.abs(row).max()
+    idx = np.nonzero(rel > tol)[0]
+    bw = int(max(mid - idx.min(), idx.max() - mid))
+    c = row[mid - bw : mid + bw + 1].copy()
+    if scheme.periodic:
+        # circulant: wrap-around stencil is exact everywhere
+        return c, None, None, 0
+    m = bw + scheme.n_closure
+    E_top = M[:m, : m + bw].copy()
+    E_bot = M[n - m :, n - (m + bw) :].copy()
+    return c, E_top, E_bot, m
+
+
+def _stencil_derivative(f, dx, scheme, axis, tol=1e-8):
+    """Explicit wide-stencil evaluation of the compact derivative.
+
+    O(bandwidth) fused multiply-adds per point at f32-exact accuracy
+    (truncation below f32 roundoff), independent of line length — the
+    bandwidth-optimal path along axes where shifts are cheap."""
+    import jax.lax as lax
+
+    n = f.shape[axis]
+    c, E_top, E_bot, m = banded_operator(scheme, n, tol)
+    bw = (len(c) - 1) // 2
+    if n < 2 * (m + bw):
+        raise ValueError(f"line length {n} too short for stencil method")
+    dtype = f.dtype
+
+    if scheme.periodic:
+        out = jnp.zeros_like(f)
+        for k, ck in enumerate(c):
+            if ck != 0.0:
+                out = out + jnp.asarray(ck, dtype) * jnp.roll(f, bw - k, axis=axis)
+        return out / jnp.asarray(dx, dtype)
+
+    out = jnp.zeros_like(f)
+    for k, ck in enumerate(c):
+        off = k - bw  # contribution of f[i+off]
+        if ck == 0.0:
+            continue
+        pad = [(0, 0)] * f.ndim
+        if off >= 0:
+            pad[axis] = (0, off)
+            piece = jnp.pad(lax.slice_in_dim(f, off, n, axis=axis), pad)
+        else:
+            pad[axis] = (-off, 0)
+            piece = jnp.pad(lax.slice_in_dim(f, 0, n + off, axis=axis), pad)
+        out = out + jnp.asarray(ck, dtype) * piece
+    # dense edge corrections (small matmuls)
+    top = jnp.tensordot(
+        jnp.asarray(E_top, dtype),
+        lax.slice_in_dim(f, 0, m + bw, axis=axis),
+        axes=(1, axis),
+    )
+    bot = jnp.tensordot(
+        jnp.asarray(E_bot, dtype),
+        lax.slice_in_dim(f, n - (m + bw), n, axis=axis),
+        axes=(1, axis),
+    )
+    # tensordot puts the new row dim first; move it to ``axis``
+    top = jnp.moveaxis(top, 0, axis)
+    bot = jnp.moveaxis(bot, 0, axis)
+    mid = lax.slice_in_dim(out, m, n - m, axis=axis)
+    out = jnp.concatenate([top, mid, bot], axis=axis)
+    return out / jnp.asarray(dx, dtype)
+
+
+@functools.lru_cache(maxsize=None)
 def line_factors(
     scheme: CompactScheme,
     n: int,
@@ -255,6 +342,8 @@ def derivative(
         # tensordot appends M's free dim at the end; restore the axis position
         out = jnp.moveaxis(out, -1, axis)
         return out / jnp.asarray(dx, f.dtype)
+    if method == "stencil":
+        return _stencil_derivative(f, dx, scheme, axis)
     if method == "pcr":
         # fully axis-aware: stencil and PCR shifts run in the field's native
         # layout — no transposes, every op is a fused shifted multiply-add

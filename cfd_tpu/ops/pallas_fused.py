@@ -50,7 +50,19 @@ __all__ = [
 ]
 
 LANE = 128
-DEFAULT_SUBLANES = 8  # lines per grid step = DEFAULT_SUBLANES * LANE
+DEFAULT_SUBLANES = None  # auto: largest power of two keeping VMEM in budget
+
+
+def _auto_sublanes(n: int, itemsize: int = 4) -> int:
+    """Largest power-of-two sublane count with in+out double-buffered blocks
+    under ~12 MB of VMEM (16 MB/core minus tables and headroom)."""
+    budget = 12 * 1024 * 1024
+    s = 16
+    # f32 blocks need at least 8 sublanes (TPU tile constraint); below that
+    # Mosaic falls back to reduced buffering rather than smaller blocks
+    while s > 8 and 2 * (2 * n + 8) * s * LANE * itemsize > budget:
+        s //= 2
+    return s
 
 
 def _stencil(scheme: CompactScheme) -> Tuple[Tuple[int, float], ...]:
@@ -247,6 +259,8 @@ def _solve_parts(
 ):
     n, B = f.shape
     halo = gl.shape[0]
+    if sublanes is None:
+        sublanes = _auto_sublanes(n, f.dtype.itemsize)
     tile = sublanes * LANE
     Bp = -(-B // tile) * tile
     if Bp != B:
@@ -279,7 +293,7 @@ def solve_lines_pallas(
     gl: jax.Array = None,
     gr: jax.Array = None,
     *,
-    sublanes: int = DEFAULT_SUBLANES,
+    sublanes=DEFAULT_SUBLANES,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused derivative of lines ``f`` of shape (n, B) with trace-time tables.
@@ -319,7 +333,7 @@ def solve_lines_tables_pallas(
     du: jax.Array,
     *,
     scheme: CompactScheme,
-    sublanes: int = DEFAULT_SUBLANES,
+    sublanes=DEFAULT_SUBLANES,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused stencil+Thomas with caller-supplied (traced) factor tables.
@@ -350,7 +364,7 @@ def fused_derivative_lines(
     dx,
     scheme: CompactScheme,
     *,
-    sublanes: int = DEFAULT_SUBLANES,
+    sublanes=DEFAULT_SUBLANES,
     interpret: bool = False,
 ) -> jax.Array:
     """Derivative along axis 0 of ``f`` (n, *batch) via the fused kernel."""

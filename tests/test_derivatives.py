@@ -193,3 +193,34 @@ def test_blocked_matmul_odd_length(rng):
     )
     ref = derivative_np(SCHEME4, f, 0.02, axis=-1)
     np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-11)
+
+
+def test_bfloat16_inputs(rng):
+    # bf16 fields are accepted on every path and keep their dtype
+    f = jnp.asarray(rng.standard_normal((4, 4, 64)), jnp.bfloat16)
+    for method in ("matmul", "pcr"):
+        out = cfd_tpu.derivative(f, 0.05, SCHEME4, axis=-1, method=method)
+        assert out.dtype == jnp.bfloat16
+        ref = derivative_np(SCHEME4, np.asarray(f, np.float64), 0.05, axis=-1)
+        rel = np.max(np.abs(np.asarray(out, np.float64) - ref)) / np.max(np.abs(ref))
+        assert rel < 0.05, (method, rel)  # bf16 has ~3 decimal digits
+
+
+@pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
+@pytest.mark.parametrize("axis", [0, 2])
+def test_stencil_method_vs_oracle(rng, scheme, axis):
+    # explicit wide-stencil form of the implicit scheme (banded_operator)
+    shape = [4, 5]
+    shape.insert(axis if axis == 0 else 2, 128)
+    f = rng.standard_normal(tuple(shape))
+    got = np.asarray(
+        cfd_tpu.derivative(jnp.asarray(f), 0.01, scheme, axis=axis, method="stencil")
+    )
+    ref = derivative_np(scheme, f, 0.01, axis=axis)
+    rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert rel < 2e-7, rel
+
+
+def test_stencil_rejects_short_lines():
+    with pytest.raises(ValueError, match="too short"):
+        cfd_tpu.derivative(jnp.zeros((32, 4)), 0.1, SCHEME4, axis=0, method="stencil")
