@@ -371,10 +371,12 @@ def dfdz(f, dz, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
 
 
 def _spacings3(spacing):
-    if jnp.ndim(spacing) == 0 or isinstance(spacing, (int, float)):
-        return (spacing, spacing, spacing)
-    dz, dy, dx = spacing
-    return (dz, dy, dx)
+    if isinstance(spacing, (tuple, list)):
+        dz, dy, dx = spacing
+        return (dz, dy, dx)
+    if getattr(spacing, "ndim", 0) == 1:  # array of 3 spacings
+        return (spacing[0], spacing[1], spacing[2])
+    return (spacing, spacing, spacing)
 
 
 def gradient(

@@ -100,3 +100,22 @@ def test_checkpoint_roundtrip(tmp_path):
     # resharding hook
     back2 = restore_state(p, distribute=jnp.asarray)
     assert isinstance(back2["f"], jax.Array)
+
+
+def test_burgers_taylor_green_decay():
+    """Taylor-Green vortex under viscous Burgers: energy must decay and the
+    flow stays finite (the BASELINE 'Taylor-Green gradient pipeline' config)."""
+    from cfd_tpu.models import Burgers
+
+    n = 16
+    c, d = _coords(n)
+    u0 = taylor_green(c, c, c)
+    model = Burgers(Derivs.single_device(d, SCHEME4_PERIODIC, method="pcr"), nu=0.05)
+    e0 = float(model.kinetic_energy(u0))
+    u5 = jax.jit(lambda u: model.run(u, 5e-3, 5))(u0)
+    e5 = float(model.kinetic_energy(u5))
+    assert np.isfinite(e5) and e5 < e0
+    # viscous decay rate of the pure TG mode ~ exp(-4 nu t) early on
+    t = 5 * 5e-3
+    expected = e0 * np.exp(-4 * 0.05 * t)
+    assert abs(e5 - expected) / e0 < 0.05
