@@ -11,10 +11,9 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
-import numpy as np
 
 from .schemes import CompactScheme, get_scheme
 
@@ -28,7 +27,7 @@ class Config:
     order: int = 4
     periodic: bool = False
     dtype: str = "float32"  # 'float32' | 'bfloat16' | 'float64'
-    method: str = "pallas"  # 'pallas' | 'pcr' | 'thomas'
+    method: str = "auto"  # 'auto' | 'matmul' | 'pallas' | 'pcr' | 'thomas' | 'stencil'
     mesh_shape: Tuple[int, int, int] = (1, 1, 1)
     grid_shape: Tuple[int, int, int] = (256, 256, 256)
     spacing: Tuple[float, float, float] = (1e-2, 1e-2, 1e-2)
@@ -36,7 +35,7 @@ class Config:
     def __post_init__(self):
         if self.dtype not in ("float32", "bfloat16", "float64"):
             raise ValueError(f"bad dtype {self.dtype}")
-        if self.method not in ("pallas", "pcr", "thomas"):
+        if self.method not in ("auto", "matmul", "pallas", "pcr", "thomas", "stencil"):
             raise ValueError(f"bad method {self.method}")
         if self.dtype == "float64" and self.method == "pallas":
             raise ValueError("float64 requires method 'pcr' or 'thomas'")

@@ -20,7 +20,7 @@ Works identically on a single device (ops layer) or sharded over a mesh
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

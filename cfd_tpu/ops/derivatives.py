@@ -14,7 +14,7 @@ x the fastest axis; ``dfdx`` differentiates the last axis.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,7 +122,6 @@ def _blocked_matmul_derivative(f, dx, scheme, axis, precision):
     xr = jnp.einsum(
         f"{subs},{b}{j}{i}->{subs.replace(i, j)}", r2, tinv, precision=precision
     )
-    xr = xr  # dims: same but block-length dim labelled j (same position)
 
     # interface faces, negated; identity rows at the physical ends demand
     # zeros there (periodic lines keep all faces)

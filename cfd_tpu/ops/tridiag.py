@@ -28,7 +28,7 @@ the batch fills TPU (sublane, lane) tiles.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

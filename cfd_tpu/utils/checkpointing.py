@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 from typing import Callable, Optional
 
-import jax
 import numpy as np
 
 __all__ = ["save_state", "restore_state"]

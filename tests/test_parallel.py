@@ -300,3 +300,17 @@ def test_profile_dfdx_phases():
     t = solver.profile_dfdx(f, verbose=False)
     assert {"rhs_and_primary_solve", "reduced_system", "sum_solutions", "full_dfdx"} <= set(t)
     assert all(v > 0 for v in t.values())
+
+
+def test_distributed_large_grid_f32():
+    """256^3 distributed derivative on the full 8-device mesh (f32) — the
+    scaled-up honest analogue of the reference's multi-GPU benchmark runs."""
+    n = 256
+    dx = 2 * np.pi / n
+    mesh = _mesh((2, 2, 2))
+    grid = Grid(mesh, (n, n, n), (dx, dx, dx), SCHEME4_PERIODIC)
+    x = (np.arange(n) * dx).astype(np.float32)
+    f = grid.distribute(jnp.asarray(np.broadcast_to(np.sin(x), (n, n, n)).copy()))
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    err = float(jnp.max(jnp.abs(solver.dfdx(f) - jnp.cos(jnp.asarray(x)))))
+    assert err < 5e-5, err
