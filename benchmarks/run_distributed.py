@@ -29,7 +29,7 @@ from cfd_tpu.utils.timing import chain_time
 
 
 def main():
-    cfg = Config.from_env(method="auto")
+    cfg = Config.from_env()  # method defaults to "auto"; CFD_METHOD overrides
     grid = cfg.make_grid()
     nz, ny, nx = cfg.grid_shape
     z, y, x = (jnp.arange(n, dtype=jnp.float32) * d for n, d in

@@ -71,14 +71,14 @@ def _blocked_tables(scheme: CompactScheme, n: int, nb: int):
 
 
 def _pick_blocks(n: int) -> int:
-    """Largest block count nb such that n/nb is an integer <= _MATMUL_BLOCK,
-    preferring block lengths around 256."""
+    """Block count nb such that n/nb is an integer block length in
+    [64, _MATMUL_BLOCK], preferring ~256; returns 1 (whole-line dense
+    operator) when no such divisor exists (e.g. prime n)."""
     for target in (256, 128, 512, 64):
         if n % target == 0:
             return n // target
-    # fall back: smallest nb dividing n with block <= _MATMUL_BLOCK
-    for nb in range(2, n + 1):
-        if n % nb == 0 and n // nb <= _MATMUL_BLOCK:
+    for nb in range(2, n // 64 + 1):
+        if n % nb == 0 and 64 <= n // nb <= _MATMUL_BLOCK:
             return nb
     return 1
 
@@ -247,16 +247,20 @@ def _stencil_derivative(f, dx, scheme, axis, tol=1e-8):
             pad[axis] = (-off, 0)
             piece = jnp.pad(lax.slice_in_dim(f, 0, n + off, axis=axis), pad)
         out = out + jnp.asarray(ck, dtype) * piece
-    # dense edge corrections (small matmuls)
+    # dense edge corrections (small matmuls; HIGHEST so f32 edges stay
+    # f32-accurate on the MXU — measured 0.05 abs error without it)
+    prec = jax.lax.Precision.HIGHEST if dtype != jnp.bfloat16 else None
     top = jnp.tensordot(
         jnp.asarray(E_top, dtype),
         lax.slice_in_dim(f, 0, m + bw, axis=axis),
         axes=(1, axis),
+        precision=prec,
     )
     bot = jnp.tensordot(
         jnp.asarray(E_bot, dtype),
         lax.slice_in_dim(f, n - (m + bw), n, axis=axis),
         axes=(1, axis),
+        precision=prec,
     )
     # tensordot puts the new row dim first; move it to ``axis``
     top = jnp.moveaxis(top, 0, axis)

@@ -247,12 +247,6 @@ def _kernel_tables(scheme: CompactScheme, n: int):
     return f32(core.w), f32(core.invd), f32(core.du), f32(q)
 
 
-def _pad_batch(arrs, B, tile):
-    Bp = -(-B // tile) * tile
-    if Bp == B:
-        return arrs, B
-    return [jnp.pad(a, ((0, 0), (0, Bp - B))) for a in arrs], B
-
 
 def _solve_parts(
     f, gl, gr, inv_dx, w, invd, du, q, *, stencil, sm_params, sublanes, interpret

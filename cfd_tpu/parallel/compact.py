@@ -83,6 +83,26 @@ class DirectionTables:
             for f in dataclasses.fields(self)
         )
 
+    @staticmethod
+    def fields_for(method: str):
+        """Field names a given local-solve method actually consumes —
+        shipping the rest (e.g. the (p, nl, nl) dense inverses on the
+        Pallas path) would waste transfer and HBM."""
+        common = ("uh", "lh", "rinv_rows")
+        per_method = {
+            "pallas": ("tw", "tinvd", "tdu"),
+            "pcr": ("k1", "k2", "invb"),
+            "thomas": ("k1", "k2", "invb"),
+            "matmul": ("tinv",),
+        }
+        return per_method[method] + common
+
+    def arrays_for(self, method: str, dtype):
+        return {
+            name: jnp.asarray(getattr(self, name), dtype)
+            for name in self.fields_for(method)
+        }
+
 
 @functools.lru_cache(maxsize=None)
 def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
@@ -209,8 +229,8 @@ def _dist_lines(
 ):
     """Distributed derivative of shard-local lines ``fl`` (nl, *batch).
 
-    Runs inside shard_map; ``tables`` are the shard's (1, ...) slices of the
-    stacked DirectionTables arrays.
+    Runs inside shard_map; ``tables`` is a dict of the shard's (1, ...)
+    slices of the stacked DirectionTables arrays (see ``fields_for``).
     """
     if p == 1:
         # the line is whole on this shard: take the single-device path,
@@ -223,6 +243,12 @@ def _dist_lines(
             fl, 1.0 / inv_dx, scheme, method, interpret=interpret
         )
 
+    # the recurrence/matmul paths need at least f32 internally; bf16 fields
+    # are upcast here and cast back at the end
+    orig_dtype = fl.dtype
+    if orig_dtype == jnp.bfloat16:
+        fl = fl.astype(jnp.float32)
+
     x_r = _phase_local_solve(
         fl,
         tables,
@@ -234,7 +260,7 @@ def _dist_lines(
         interpret=interpret,
     )
     ab = _phase_reduced(x_r, tables, scheme=scheme, axis_name=axis_name, p=p)
-    return _phase_update(x_r, ab, tables)
+    return _phase_update(x_r, ab, tables).astype(orig_dtype)
 
 
 def _phase_local_solve(
@@ -244,7 +270,6 @@ def _phase_local_solve(
 
     Covers the reference phases ``compute_RHS`` + ``solve_primary_system``
     (+ the host-side ``solve_secondary_systems``, which here is setup-time)."""
-    k1, k2, invb, tw, tinvd, tdu, tinv, uh, lh, rinv_rows = tables
     w = scheme.stencil_width
     nl = fl.shape[0]
     bshape = fl.shape[1:]
@@ -265,20 +290,24 @@ def _phase_local_solve(
             left.reshape(w, -1),
             right.reshape(w, -1),
             inv_dx,
-            tw[0].astype(dtype),
-            tinvd[0].astype(dtype),
-            tdu[0].astype(dtype),
+            tables["tw"][0].astype(dtype),
+            tables["tinvd"][0].astype(dtype),
+            tables["tdu"][0].astype(dtype),
             scheme=scheme,
             interpret=interpret,
         ).reshape((nl,) + bshape)
     f_ext = jnp.concatenate([left, fl, right], axis=0)
     rhs = stencil_rhs(f_ext, inv_dx, scheme)
     if method == "matmul":
-        prec = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
         return jnp.tensordot(
-            tinv[0].astype(dtype), rhs, axes=([1], [0]), precision=prec
+            tables["tinv"][0].astype(dtype),
+            rhs,
+            axes=([1], [0]),
+            precision=jax.lax.Precision.HIGHEST,
         )
-    return _local_solve_pcr(k1[0], k2[0], invb[0], rhs)
+    return _local_solve_pcr(
+        tables["k1"][0], tables["k2"][0], tables["invb"][0], rhs
+    )
 
 
 def _phase_reduced(x_r, tables, *, scheme, axis_name, p):
@@ -288,7 +317,7 @@ def _phase_reduced(x_r, tables, *, scheme, axis_name, p):
     rank-0 round trip: faces are negated/zeroed (negateAndCopyFaces
     semantics, kernels.cu:76-113), gathered over the line axis, and hit with
     this shard's two rows of the precomputed reduced-matrix inverse."""
-    rinv_rows = tables[-1]
+    rinv_rows = tables["rinv_rows"]
     dtype = x_r.dtype
     bshape = x_r.shape[1:]
     face_f = -x_r[0]
@@ -301,15 +330,20 @@ def _phase_reduced(x_r, tables, *, scheme, axis_name, p):
     faces = jnp.stack([face_f, face_l])  # (2, *batch)
     all_faces = lax.all_gather(faces, axis_name, axis=0, tiled=True)  # (2p, *b)
     flat = all_faces.reshape(2 * p, -1)
+    # HIGHEST keeps the f32 interface weights at f32 accuracy on the MXU;
+    # without it this matmul runs in bf16 and corrupts every shard boundary
     return jnp.dot(
-        rinv_rows[0].astype(dtype), flat, preferred_element_type=dtype
+        rinv_rows[0].astype(dtype),
+        flat,
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape((2,) + bshape)
 
 
 def _phase_update(x_r, ab, tables):
     """Rank-2 update x = x_R + alpha x_UH + beta x_LH (``sum_solutions``,
     kernels.cu:49-74)."""
-    uh, lh = tables[-3], tables[-2]
+    uh, lh = tables["uh"], tables["lh"]
     dtype = x_r.dtype
     expand = (x_r.shape[0],) + (1,) * (x_r.ndim - 1)
     return (
@@ -352,12 +386,14 @@ class DistributedCompactSolver:
         n = grid.shape[axis3]
         p = grid.proc_shape[axis3]
         inv_dx = 1.0 / grid.spacing[axis3]
-        tables = direction_tables(scheme, n, p)
-        dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
-        arrays = tables.as_arrays(dtype)
         from ..ops.derivatives import resolve_method
 
         method = resolve_method(self.method, f.dtype, n // p)
+        dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
+        tables = direction_tables(scheme, n, p)
+        # ship only the table arrays this method consumes
+        names = tables.fields_for(method) if p > 1 else ()
+        arrays = tuple(jnp.asarray(getattr(tables, nm), dtype) for nm in names)
 
         spec = grid.spec()
         tab_specs = tuple(P(axis_name) for _ in arrays)
@@ -366,7 +402,7 @@ class DistributedCompactSolver:
             fl0 = jnp.moveaxis(fl, axis3 - 3, 0)
             x = _dist_lines(
                 fl0,
-                tabs,
+                dict(zip(names, tabs)),
                 scheme=scheme,
                 axis_name=axis_name,
                 p=p,
@@ -434,7 +470,8 @@ class DistributedCompactSolver:
         method = resolve_method(self.method, f.dtype, n // p)
         tables = direction_tables(scheme, n, p)
         dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
-        arrays = tables.as_arrays(dtype)
+        names = tables.fields_for(method) if p > 1 else ()
+        arrays = tuple(jnp.asarray(getattr(tables, nm), dtype) for nm in names)
         spec = grid.spec()
         tab_specs = tuple(P(axis_name) for _ in arrays)
         timings = {}
@@ -462,7 +499,7 @@ class DistributedCompactSolver:
             lambda fl, *tabs: jnp.moveaxis(
                 _phase_local_solve(
                     jnp.moveaxis(fl, -1, 0),
-                    tabs,
+                    dict(zip(names, tabs)),
                     scheme=scheme,
                     axis_name=axis_name,
                     p=p,
@@ -483,7 +520,7 @@ class DistributedCompactSolver:
             def reduced_body(xr, *tabs):
                 ab = _phase_reduced(
                     jnp.moveaxis(xr, -1, 0),
-                    tabs,
+                    dict(zip(names, tabs)),
                     scheme=scheme,
                     axis_name=axis_name,
                     p=p,
@@ -495,7 +532,9 @@ class DistributedCompactSolver:
 
             def update_body(xr, abg, *tabs):
                 ab_local = jnp.moveaxis(abg[0], -1, 0)  # (2, zl, yl)
-                out = _phase_update(jnp.moveaxis(xr, -1, 0), ab_local, tabs)
+                out = _phase_update(
+                    jnp.moveaxis(xr, -1, 0), ab_local, dict(zip(names, tabs))
+                )
                 return jnp.moveaxis(out, 0, -1)
 
             update = smap(update_body, (spec, ab_spec) + tab_specs, spec)

@@ -314,3 +314,20 @@ def test_distributed_large_grid_f32():
     solver = cfd_tpu.DistributedCompactSolver(grid)
     err = float(jnp.max(jnp.abs(solver.dfdx(f) - jnp.cos(jnp.asarray(x)))))
     assert err < 5e-5, err
+
+
+def test_distributed_bf16_field():
+    """bf16 fields are upcast internally; distributed result ~bf16 accuracy
+    and consistent between p=1 and p>1 paths (review finding)."""
+    mesh = _mesh((1, 1, 4))
+    shape = (4, 8, 64)
+    grid = Grid(mesh, shape, (0.1, 0.1, 0.05), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="pcr")
+    rng = np.random.default_rng(17)
+    f64 = rng.standard_normal(shape)
+    f = jnp.asarray(f64, jnp.bfloat16)
+    got = solver.dfdx(grid.distribute(f))
+    assert got.dtype == jnp.bfloat16
+    ref = derivative_np(SCHEME4, np.asarray(f, np.float64), 0.05, axis=2)
+    rel = np.max(np.abs(np.asarray(got, np.float64) - ref)) / np.max(np.abs(ref))
+    assert rel < 0.05, rel
