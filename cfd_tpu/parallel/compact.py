@@ -97,12 +97,6 @@ class DirectionTables:
         }
         return per_method[method] + common
 
-    def arrays_for(self, method: str, dtype):
-        return {
-            name: jnp.asarray(getattr(self, name), dtype)
-            for name in self.fields_for(method)
-        }
-
 
 @functools.lru_cache(maxsize=None)
 def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
@@ -381,6 +375,10 @@ class DistributedCompactSolver:
     def _derivative(self, f: jax.Array, axis: int) -> jax.Array:
         grid = self.grid
         scheme = grid.scheme
+        if f.shape[-3:] != grid.shape:
+            raise ValueError(
+                f"field shape {f.shape} does not end in grid shape {grid.shape}"
+            )
         axis3 = axis % 3  # 0=z, 1=y, 2=x over the trailing three dims
         axis_name = AXIS_NAMES[axis3]
         n = grid.shape[axis3]

@@ -331,3 +331,30 @@ def test_distributed_bf16_field():
     ref = derivative_np(SCHEME4, np.asarray(f, np.float64), 0.05, axis=2)
     rel = np.max(np.abs(np.asarray(got, np.float64) - ref)) / np.max(np.abs(ref))
     assert rel < 0.05, rel
+
+
+def test_exchange_3d_width2():
+    from cfd_tpu.parallel.halo import exchange_3d
+
+    mesh = _mesh((2, 2, 2))
+    g = Grid(mesh, (8, 8, 8), (1.0, 1.0, 1.0))
+    f = np.arange(512, dtype=np.float64).reshape(8, 8, 8)
+    out = np.asarray(
+        shard_map(
+            lambda fl: exchange_3d(fl, 2, (True, True, True)),
+            mesh=mesh,
+            in_specs=P("z", "y", "x"),
+            out_specs=P("z", "y", "x"),
+        )(g.distribute(jnp.asarray(f)))
+    )
+    blk = out[:8, :8, :8]  # shard (0,0,0): local 4 + 2 halo each side
+    np.testing.assert_array_equal(blk[2:6, 2:6, 2:6], f[0:4, 0:4, 0:4])
+    np.testing.assert_array_equal(blk[2:6, 2:6, 0], f[0:4, 0:4, 6])  # x wrap -2
+
+
+def test_distributed_shape_mismatch():
+    mesh = _mesh((1, 1, 2))
+    grid = Grid(mesh, (4, 4, 16), (0.1, 0.1, 0.1), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    with pytest.raises(ValueError, match="grid shape"):
+        solver.dfdx(jnp.zeros((4, 4, 8)))
