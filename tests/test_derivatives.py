@@ -224,3 +224,28 @@ def test_stencil_method_vs_oracle(rng, scheme, axis):
 def test_stencil_rejects_short_lines():
     with pytest.raises(ValueError, match="too short"):
         cfd_tpu.derivative(jnp.zeros((32, 4)), 0.1, SCHEME4, axis=0, method="stencil")
+
+
+@pytest.mark.parametrize("method", ["pcr", "thomas", "matmul"])
+def test_autodiff_through_derivative(rng, method):
+    """The derivative is linear, so jax.grad of sum(dfdx(f)) must equal the
+    operator's column sums (adjoint applied to ones) — AD works through all
+    XLA-level backends."""
+    from cfd_tpu.ops.derivatives import dense_operator
+
+    n = 32
+    dx = 0.07
+    f = jnp.asarray(rng.standard_normal((4, n)))
+    g = jax.grad(lambda h: jnp.sum(cfd_tpu.derivative(h, dx, SCHEME4, axis=-1, method=method)))(f)
+    M = dense_operator(SCHEME4, n)
+    expect = np.broadcast_to(M.sum(axis=0) / dx, (4, n))
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-9, atol=1e-10)
+
+
+def test_jvp_matches_linearity(rng):
+    n = 32
+    f = jnp.asarray(rng.standard_normal((n,)))
+    v = jnp.asarray(rng.standard_normal((n,)))
+    fn = lambda h: cfd_tpu.derivative(h, 0.1, SCHEME6, axis=0)
+    _, jv = jax.jvp(fn, (f,), (v,))
+    np.testing.assert_allclose(np.asarray(jv), np.asarray(fn(v)), rtol=1e-11)
