@@ -77,12 +77,6 @@ class DirectionTables:
     lh: np.ndarray
     rinv_rows: np.ndarray
 
-    def as_arrays(self, dtype):
-        return tuple(
-            jnp.asarray(getattr(self, f.name), dtype)
-            for f in dataclasses.fields(self)
-        )
-
     @staticmethod
     def fields_for(method: str):
         """Field names a given local-solve method actually consumes —
@@ -226,22 +220,25 @@ def _dist_lines(
     Runs inside shard_map; ``tables`` is a dict of the shard's (1, ...)
     slices of the stacked DirectionTables arrays (see ``fields_for``).
     """
+    # the recurrence/matmul paths need at least f32 internally; bf16 fields
+    # are upcast here (on every branch, so accuracy does not depend on which
+    # mesh axis the derivative crosses) and cast back at the end
+    orig_dtype = fl.dtype
+    if orig_dtype == jnp.bfloat16:
+        fl = fl.astype(jnp.float32)
+
     if p == 1:
         # the line is whole on this shard: take the single-device path,
         # which installs closures / cyclic corners directly
         from ..ops.derivatives import _derivative_lines, derivative
 
         if method == "matmul":
-            return derivative(fl, 1.0 / inv_dx, scheme, axis=0, method=method)
-        return _derivative_lines(
-            fl, 1.0 / inv_dx, scheme, method, interpret=interpret
-        )
-
-    # the recurrence/matmul paths need at least f32 internally; bf16 fields
-    # are upcast here and cast back at the end
-    orig_dtype = fl.dtype
-    if orig_dtype == jnp.bfloat16:
-        fl = fl.astype(jnp.float32)
+            out = derivative(fl, 1.0 / inv_dx, scheme, axis=0, method=method)
+        else:
+            out = _derivative_lines(
+                fl, 1.0 / inv_dx, scheme, method, interpret=interpret
+            )
+        return out.astype(orig_dtype)
 
     x_r = _phase_local_solve(
         fl,
@@ -366,8 +363,10 @@ class DistributedCompactSolver:
         method: str = "auto",
         interpret: bool = False,
     ):
-        if method not in ("auto", "pcr", "pallas", "matmul"):
-            raise ValueError(f"unknown method {method!r}")
+        if method not in ("auto", "pcr", "thomas", "pallas", "matmul"):
+            raise ValueError(
+                f"method {method!r} is not supported on the distributed path"
+            )
         self.grid = grid
         self.method = method
         self.interpret = interpret
@@ -375,9 +374,9 @@ class DistributedCompactSolver:
     def _derivative(self, f: jax.Array, axis: int) -> jax.Array:
         grid = self.grid
         scheme = grid.scheme
-        if f.shape[-3:] != grid.shape:
+        if f.shape != grid.shape:
             raise ValueError(
-                f"field shape {f.shape} does not end in grid shape {grid.shape}"
+                f"field shape {f.shape} != grid shape {grid.shape}"
             )
         axis3 = axis % 3  # 0=z, 1=y, 2=x over the trailing three dims
         axis_name = AXIS_NAMES[axis3]
@@ -495,7 +494,7 @@ class DistributedCompactSolver:
 
         local = smap(
             lambda fl, *tabs: jnp.moveaxis(
-                _phase_local_solve(
+                (_dist_lines if p == 1 else _phase_local_solve)(
                     jnp.moveaxis(fl, -1, 0),
                     dict(zip(names, tabs)),
                     scheme=scheme,

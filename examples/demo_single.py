@@ -10,7 +10,7 @@ d/dz of f = x cos(xy) + sin(z) y on an N^3 grid and prints max abs errors.
 import math
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

@@ -358,3 +358,52 @@ def test_distributed_shape_mismatch():
     solver = cfd_tpu.DistributedCompactSolver(grid)
     with pytest.raises(ValueError, match="grid shape"):
         solver.dfdx(jnp.zeros((4, 4, 8)))
+
+
+def test_profile_dfdx_unsharded_x():
+    # regression: profile_dfdx crashed with KeyError when x was unsharded
+    mesh = _mesh((2, 2, 1))
+    grid = Grid(mesh, (8, 8, 16), (0.1, 0.1, 0.05), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    f = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 16)))
+    t = solver.profile_dfdx(f, verbose=False)
+    assert t["full_dfdx"] > 0
+
+
+def test_distributed_bf16_unsharded_axis():
+    # bf16 upcast applies on the p==1 branch too (accuracy must not depend
+    # on which mesh axis the derivative crosses)
+    rng = np.random.default_rng(21)
+    f64 = rng.standard_normal((8, 8, 64))
+    ref = derivative_np(SCHEME4, f64, 0.05, axis=2)
+
+    def run(mesh_shape):
+        mesh = _mesh(mesh_shape)
+        grid = Grid(mesh, (8, 8, 64), (0.1, 0.1, 0.05), SCHEME4)
+        s = cfd_tpu.DistributedCompactSolver(grid, method="pcr")
+        got = s.dfdx(grid.distribute(jnp.asarray(f64, jnp.bfloat16)))
+        return np.max(np.abs(np.asarray(got, np.float64) - ref)) / np.max(np.abs(ref))
+
+    rel_sharded = run((1, 1, 8))
+    rel_unsharded = run((8, 1, 1))
+    assert rel_unsharded < 2 * rel_sharded + 1e-3, (rel_unsharded, rel_sharded)
+
+
+def test_distributed_thomas_method():
+    mesh = _mesh((1, 1, 4))
+    grid = Grid(mesh, (4, 8, 32), (0.1, 0.1, 0.05), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="thomas")
+    rng = np.random.default_rng(23)
+    f = rng.standard_normal((4, 8, 32))
+    got = np.asarray(solver.dfdx(grid.distribute(jnp.asarray(f))))
+    np.testing.assert_allclose(
+        got, derivative_np(SCHEME4, f, 0.05, axis=2), rtol=1e-10, atol=1e-11
+    )
+
+
+def test_distributed_batched_field_rejected():
+    mesh = _mesh((1, 1, 2))
+    grid = Grid(mesh, (4, 4, 16), (0.1, 0.1, 0.1), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    with pytest.raises(ValueError, match="grid shape"):
+        solver.dfdx(jnp.zeros((2, 4, 4, 16)))  # leading batch dim unsupported
