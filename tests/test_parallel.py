@@ -407,3 +407,23 @@ def test_distributed_batched_field_rejected():
     solver = cfd_tpu.DistributedCompactSolver(grid)
     with pytest.raises(ValueError, match="grid shape"):
         solver.dfdx(jnp.zeros((2, 4, 4, 16)))  # leading batch dim unsupported
+
+
+def test_distributed_xyz_field_like_reference():
+    """The reference's second integration case: f = x*y*z on 2x2x2 ranks,
+    dfdx must equal y*z (code/cuda/test/test_compact.py:33-59) — here at
+    1e-10 instead of decimal=2."""
+    n = 32
+    mesh = _mesh((2, 2, 2))
+    spacing = (1.0 / (n - 1), 1.0 / (n - 1), 1.0 / (n - 1))
+    grid = Grid(mesh, (n, n, n), spacing, SCHEME4)
+    z, y, x = np.meshgrid(
+        np.linspace(0, 1, n), np.linspace(0, 1, n), np.linspace(0, 1, n),
+        indexing="ij",
+    )
+    f = x * y * z
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    got = np.asarray(solver.dfdx(grid.distribute(jnp.asarray(f))))
+    np.testing.assert_allclose(got, y * z, rtol=1e-9, atol=1e-10)
+    got_y = np.asarray(solver.dfdy(grid.distribute(jnp.asarray(f))))
+    np.testing.assert_allclose(got_y, x * z, rtol=1e-9, atol=1e-10)
