@@ -34,7 +34,7 @@ from cfd_tpu.utils.timing import chain_time
 
 
 def main():
-    n = 256
+    n = int(os.environ.get("BENCH_N", "256"))  # override for smoke tests
     dx = 2 * math.pi / n
     x = np.arange(n) * dx
     f = jnp.asarray(
