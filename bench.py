@@ -48,8 +48,18 @@ def main():
     err = float(jnp.max(jnp.abs(step(f) - jnp.cos(jnp.asarray(x, jnp.float32)))))
     assert err < 5e-4, f"accuracy gate failed: {err}"
 
-    dt = chain_time(step, f, k_small=4, k_big=64, repeats=3)
+    # the shared chip's contention is bimodal; min over several longer
+    # chains recovers the uncontended figure
+    dt = chain_time(step, f, k_small=4, k_big=96, repeats=6)
     pts_per_s = n**3 / dt
+    # plausibility gate: one read + one write of f32 at duplex HBM speed
+    # (~0.82 TB/s each way on v5e) bounds dfdx at ~205 Gpt/s; anything
+    # above it is a measurement artifact, not a kernel
+    roofline = 0.82e12 / (4 + 4)
+    assert pts_per_s < 1.25 * roofline, (
+        f"implausible throughput {pts_per_s:.3e} pts/s > HBM roofline "
+        f"{roofline:.3e} — timing artifact?"
+    )
     baseline = 191e6  # points/s per GPU, 256^3 on 8 GPUs (BASELINE.md)
     print(
         json.dumps(

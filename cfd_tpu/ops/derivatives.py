@@ -38,19 +38,25 @@ __all__ = [
 _METHODS = ("auto", "pcr", "thomas", "pallas", "matmul", "stencil")
 
 
-def resolve_method(method: str, dtype, n: int) -> str:
+def resolve_method(method: str, dtype, n: int, minor_axis: bool = False) -> str:
     """Resolve 'auto' to the fastest backend for this dtype/backend/size.
 
-    On TPU (measured, v5e): the dense-operator MXU path wins for line
-    lengths up to ``_MATMUL_BLOCK``; beyond that the fused Pallas kernel is
-    faster (the blocked-substructuring matmul stays available via explicit
-    method='matmul' but spends more HBM passes than the fused kernel).
-    float64 and CPU take the XLA-level PCR path.
+    On TPU (measured, v5e): along the minor (lane) axis the fused lane
+    kernel wins wherever it applies (69.6 vs the dense MXU operator's 48.8
+    Gpt/s at 256^3, 1.8x at n=512 — ops/pallas_lane.py). Elsewhere the
+    dense-operator MXU path wins for line lengths up to ``_MATMUL_BLOCK``;
+    beyond that the leading-axis fused Pallas kernel is faster. float64 and
+    CPU take the XLA-level PCR path.
     """
     if method != "auto":
         return method
     if dtype == jnp.float64 or jax.default_backend() == "cpu":
         return "pcr"
+    if minor_axis:
+        from .pallas_lane import lane_supported
+
+        if lane_supported(None, n, dtype):
+            return "pallas"
     return "matmul" if n <= _MATMUL_BLOCK else "pallas"
 
 
@@ -321,15 +327,23 @@ def derivative(
     """Compact first derivative of ``f`` along ``axis`` with spacing ``dx``.
 
     ``method`` selects the backend: 'auto' (default; picks per dtype/backend/
-    size, see ``resolve_method``), 'matmul' (dense operator on the MXU),
-    'pallas' (fused RHS+Thomas TPU kernel; f32/bf16), 'pcr' (axis-aware
-    table-driven parallel cyclic reduction at the XLA level — any backend,
-    any dtype) or 'thomas' (scan-based LU).
+    axis/size, see ``resolve_method``), 'matmul' (dense operator on the MXU),
+    'pallas' (fused TPU kernels, f32/bf16: the transpose-free lane kernel
+    along the last axis — ops/pallas_lane.py — and the RHS+Thomas kernel
+    elsewhere), 'pcr' (axis-aware table-driven parallel cyclic reduction at
+    the XLA level — any backend, any dtype) or 'thomas' (scan-based LU).
     """
     if method not in _METHODS:
         raise ValueError(f"unknown solver method {method!r}; expected {_METHODS}")
     axis = axis % f.ndim
-    method = resolve_method(method, f.dtype, f.shape[axis])
+    minor = axis == f.ndim - 1
+    method = resolve_method(method, f.dtype, f.shape[axis], minor_axis=minor)
+    if method == "pallas" and minor:
+        from .pallas_lane import lane_derivative, lane_supported
+
+        if lane_supported(scheme, f.shape[axis], f.dtype):
+            # transpose-free lane-axis kernel: one HBM read + one write
+            return lane_derivative(f, dx, scheme)
     if method == "matmul":
         # MXU passes for f32 inputs: 'highest' (bf16x6, ~1e-6 abs err on
         # smooth fields) is the default; 'high' (bf16x3) halves the MXU cost

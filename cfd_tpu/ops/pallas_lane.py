@@ -1,0 +1,369 @@
+"""Lane-axis fused compact-derivative Pallas kernel (d/dx without transposes).
+
+The headline op dfdx differentiates the *minor* axis of ``[..., nz, ny, nx]``
+fields — the TPU lane dimension. Round 1 served it either with the dense
+(n, n) operator on the MXU (n multiply-adds per point) or with the
+leading-axis fused kernel wrapped in two full transposes (~4 extra HBM
+passes). This kernel removes both taxes: the field never changes layout and
+the MXU work drops from n to 128 MACs per point.
+
+Design rules, each measured on v5e at 256^3 f32 (the HBM floor — one read of
+f, one write of f' — is 0.12-0.16 ms depending on chip load):
+
+* **K=128 block matmuls hide behind the DMA** when the kernel advertises a
+  memory-biased cost estimate: a dots-only kernel times like a pure copy.
+* **Extra in-kernel matmuls do NOT hide.** Each additional dot costs full
+  (K-tile x M-tile x 6-pass) quanta of schedule time; routing the interface
+  and closure corrections through two more dots measured +0.2 ms even with
+  all shapes 128-aligned. The corrections therefore stay on the VPU as a
+  handful of rank-1 broadcast-FMAs.
+* **Keep the difference stencil out of the matmul**: folding the O(1/dx)
+  RHS stencil into the block operators loses ~3 digits to cancellation
+  (measured, error growing with n); ``f[i+k] - f[i-k]`` via cyclic lane
+  rolls is exact in f32.
+* **Every per-line scalar must be a functional of local differences.**
+  Closure deltas built from f lose a factor O(n) to f's O(1) mean
+  (measured 2e-5 at the boundary lane at n=1024); built from the first
+  differences ``g[i] = f[i+1] - f[i]`` they are n-independent ~1e-6.
+
+Per (R, n) row-block the kernel computes (tables precomputed in float64 —
+the same substructuring tables as the distributed solver,
+parallel/compact.direction_tables):
+
+1. ``g = roll(f,-1) - f``; ``rhs[i] = sum_k w_k (f[i+k]-f[i-k])`` as
+   windowed sums of g (single-offset schemes fold w into the tables, so
+   the in-kernel RHS is a bare difference)                        (VPU)
+2. ``xr_b = rhs_b @ (tinv_b^T w/dx)`` per 128-lane block     (MXU, K=128)
+3. closure-row RHS deltas from sparse g-taps (true closure stencil minus
+   the wrapped interior stencil, both local in g-space), each applied as
+   ``delta_c x (w/dx) T^{-1}[:, j_c]`` — the exact full-line inverse
+   response of the patched row, restricted to the blocks where it is
+   numerically nonzero (geometric decay)                          (VPU)
+4. interface faces from xr block-edge lanes; reduced interface solve +
+   rank-2 unit-load update collapsed into one faces-to-output map
+   ``out += faces @ D``, one broadcast-FMA per *nonzero* row of D
+   (physical line ends drop statically — the identity rows of the
+   reduced matrix, reference kernels.cu:106-111)                  (VPU)
+5. ``out_b = xr_b + corr_b``                                      (VPU)
+
+The linearity behind step 3: the true RHS is ``rhs_wrapped + sum delta_j
+e_j`` and the solve is linear, so the output is the wrapped-RHS solve plus
+``delta_j`` times the inverse response of row j.
+
+This is the TPU formulation of the reference's fused CUDA aspiration
+(kernels.cu computeRHS + CR solve + sumSolutions in one pass): HBM-bound by
+construction, with the sequential Thomas recurrence replaced by MXU block
+solves so nothing is latency-bound. float32/bfloat16 fields only (float64
+callers take the PCR path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..schemes import CompactScheme, lhs_bands
+
+__all__ = ["lane_derivative", "lane_supported", "BLOCK_LANES"]
+
+BLOCK_LANES = 128  # substructuring block length = one lane group
+
+
+def lane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
+    """Whether the lane kernel can differentiate lines of length ``n``."""
+    return (
+        dtype in (jnp.float32, jnp.bfloat16)
+        and n % BLOCK_LANES == 0
+        and n // BLOCK_LANES >= 2
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _full_inverse(scheme: CompactScheme, n: int) -> np.ndarray:
+    """Dense inverse of the full-line LHS (float64, cached)."""
+    dl, d, du = lhs_bands(scheme, n)
+    T = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+    if scheme.periodic:
+        T[0, -1] = scheme.alpha
+        T[-1, 0] = scheme.alpha
+    return np.linalg.inv(T)
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_tables(scheme: CompactScheme, n: int):
+    """Kernel tables (float64 math, truncated to float32 at the end).
+
+    The caller scales Tm and Q by ``wfold/dx`` at trace time (D maps
+    already-scaled faces, so it stays unscaled).
+
+    Returns (Tm, D, Q, closure_taps, closure_blocks, d_nonzero, wfold):
+      Tm — (nb, 128, 128) transposed dense block inverses
+      D  — (2nb, n) faces-to-output correction
+           (``D[k] = rinv[2b,k] uh_b + rinv[2b+1,k] lh_b``; rows 0/2nb-1
+           zeroed for non-periodic)
+      Q  — (nc, n) exact full-line inverse responses T^{-1}[:, j]^T of
+           the closure rows, or None for periodic schemes
+      closure_taps   — per closure row, ((g-lane, coeff), ...) of the
+           delta functional in g-space (g[i] = f[i+1] - f[i], cyclic)
+      closure_blocks — per closure row, tuple of block indices where the
+           response Q is numerically nonzero (geometric decay)
+      d_nonzero — indices of rows of D that are not identically zero
+      wfold — interior weight folded out of the in-kernel stencil
+    """
+    from .derivatives import _blocked_tables
+
+    nb = n // BLOCK_LANES
+    m = BLOCK_LANES
+    tinv, uh, lh, rinv = _blocked_tables(scheme, n, nb)
+    Tm = np.ascontiguousarray(np.transpose(tinv, (0, 2, 1)))
+
+    D = np.zeros((2 * nb, n))
+    for b in range(nb):
+        sl = slice(m * b, m * (b + 1))
+        D[:, sl] = np.outer(rinv[2 * b], uh[b]) + np.outer(rinv[2 * b + 1], lh[b])
+    if not scheme.periodic:
+        D[0, :] = 0.0
+        D[-1, :] = 0.0
+    d_nonzero = tuple(int(k) for k in range(2 * nb) if np.any(D[k]))
+
+    single = len(scheme.rhs_offsets) == 1
+    wfold = scheme.rhs_weights[0] if single else 1.0
+
+    Q = None
+    closure_taps = ()
+    closure_blocks = ()
+    if not scheme.periodic and scheme.left_rows:
+        rows = []  # closure line indices
+        trues = []  # true RHS functional in g-space
+        for j, row in enumerate(scheme.left_rows):
+            rows.append(j)
+            # sum_m c_m f[m] = sum_t C_t g[t],  C_t = sum_{m>t} c_m
+            c = np.asarray(row.rhs_stencil) / wfold
+            t = np.zeros(n)
+            t[: len(c) - 1] = np.cumsum(c[::-1])[::-1][1:]
+            trues.append(t)
+        for jr, row in enumerate(scheme.right_rows):
+            rows.append(n - 1 - jr)
+            # stencil applied to f[n-mlen:] reversed (rhs_matrix convention)
+            st = np.asarray(row.rhs_stencil[::-1]) / wfold
+            t = np.zeros(n)
+            t[n - len(st) : n - 1] = np.cumsum(st[::-1])[::-1][1:]
+            trues.append(t)
+        taps, blocks = [], []
+        Tinv = _full_inverse(scheme, n)
+        for j, t in zip(rows, trues):
+            s = t.copy()
+            # subtract the wrapped interior stencil the kernel computes:
+            # rhs[j] = sum_k (w_k/wfold) sum_{sh=1-k..k} g[(j-sh) mod n]
+            for k, wt in zip(scheme.rhs_offsets, scheme.rhs_weights):
+                for sh in range(1 - k, k + 1):
+                    s[(j - sh) % n] -= wt / wfold
+            taps.append(
+                tuple(
+                    (int(t_), float(s[t_]))
+                    for t_ in np.nonzero(np.abs(s) > 1e-14)[0]
+                )
+            )
+            resp = Tinv[:, j]
+            blocks.append(
+                tuple(
+                    b
+                    for b in range(nb)
+                    if np.abs(resp[m * b : m * (b + 1)]).max() > 1e-12
+                )
+            )
+        Q = np.stack([Tinv[:, j] for j in rows])
+        closure_taps = tuple(taps)
+        closure_blocks = tuple(blocks)
+
+    f32 = lambda a: None if a is None else np.asarray(a, np.float32)
+    return (
+        f32(Tm),
+        f32(D),
+        f32(Q),
+        closure_taps,
+        closure_blocks,
+        d_nonzero,
+        float(wfold),
+    )
+
+
+def _lane_kernel(
+    f_ref,
+    t_ref,
+    d_ref,
+    q_ref,
+    out_ref,
+    *,
+    n: int,
+    nb: int,
+    scheme: CompactScheme,
+    closure_taps,
+    closure_blocks,
+    d_nonzero,
+    wfold: float,
+    compute_dtype,
+):
+    """One (R, n) row-block; see module docstring for the step list."""
+    m = BLOCK_LANES
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=compute_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    f = f_ref[:].astype(compute_dtype)
+
+    # 1. first differences + compact RHS as windowed sums of g
+    g = pltpu.roll(f, n - 1, 1) - f
+    rhs = None
+    for k, wt in zip(scheme.rhs_offsets, scheme.rhs_weights):
+        term = None
+        for s in range(1 - k, k + 1):
+            piece = g if s == 0 else pltpu.roll(g, s % n, 1)
+            term = piece if term is None else term + piece
+        if wt != wfold:
+            term = (wt / wfold) * term
+        rhs = term if rhs is None else rhs + term
+
+    # 2. per-block dense solves (MXU, K = 128 exactly)
+    xr = [dot(rhs[:, m * b : m * (b + 1)], t_ref[b]) for b in range(nb)]
+
+    # 3. closure-row deltas (sparse g-taps) x inverse responses
+    for c, taps in enumerate(closure_taps):
+        delta = None
+        for lane, w in taps:
+            piece = w * g[:, lane : lane + 1]
+            delta = piece if delta is None else delta + piece
+        for b in closure_blocks[c]:
+            xr[b] = xr[b] + delta * q_ref[c : c + 1, m * b : m * (b + 1)]
+
+    # 4. interface faces -> correction, one FMA per nonzero D row
+    corr = None
+    for k in d_nonzero:
+        b, e = divmod(k, 2)
+        lane = 0 if e == 0 else m - 1
+        face = -xr[b][:, lane : lane + 1]  # (R, 1)
+        t = face * d_ref[k : k + 1, :]  # (R, n) broadcast-FMA
+        corr = t if corr is None else corr + t
+
+    # 5. assemble
+    for b in range(nb):
+        sl = slice(m * b, m * (b + 1))
+        blk = xr[b] if corr is None else xr[b] + corr[:, sl]
+        out_ref[:, sl] = blk.astype(out_ref.dtype)
+
+
+def _pick_rows(n: int, itemsize: int) -> int:
+    """Row-block size: in/out double-buffered + g/rhs/xr/corr temps, ~12 MB."""
+    budget = 12 * 1024 * 1024
+    r = 1024
+    while r > 256 and 7 * r * n * itemsize > budget:
+        r //= 2
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=("scheme", "n", "rows", "interpret"))
+def _call_lane(f2, Tm, D, Q, *, scheme, n, rows, interpret):
+    B = f2.shape[0]
+    nb = n // BLOCK_LANES
+    _, _, _, closure_taps, closure_blocks, d_nonzero, wfold = _lane_tables(
+        scheme, n
+    )
+    kernel = functools.partial(
+        _lane_kernel,
+        n=n,
+        nb=nb,
+        scheme=scheme,
+        closure_taps=closure_taps,
+        closure_blocks=closure_blocks,
+        d_nonzero=d_nonzero,
+        wfold=wfold,
+        compute_dtype=jnp.float32,
+    )
+    nc = Q.shape[0]
+    whole = lambda *shape: pl.BlockSpec(
+        shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n), f2.dtype),
+        grid=(B // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            whole(nb, BLOCK_LANES, BLOCK_LANES),
+            whole(2 * nb, n),
+            whole(nc, n),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, n), lambda j: (j, 0), memory_space=pltpu.VMEM
+        ),
+        # memory-biased estimate: the MXU work hides behind the HBM DMA and
+        # biasing the scheduler toward bandwidth measures ~15% faster than
+        # advertising the true (6-pass) flop count
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * B,
+            bytes_accessed=2 * n * B * f2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(f2, Tm, D, Q)
+
+
+def lane_derivative(
+    f: jax.Array,
+    dx,
+    scheme: CompactScheme,
+    *,
+    rows: int = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compact derivative along the last axis of ``f`` (..., n), fused.
+
+    float32/bfloat16, n a multiple of 128 with at least two blocks
+    (``lane_supported``); callers fall back to the other backends otherwise.
+    """
+    if f.dtype == jnp.float64:
+        raise ValueError(
+            "the lane Pallas path supports float32/bfloat16 only; use "
+            "method='pcr' for float64 runs"
+        )
+    n = f.shape[-1]
+    if not lane_supported(scheme, n, f.dtype):
+        raise ValueError(
+            f"lane kernel needs n % {BLOCK_LANES} == 0 and >= 2 blocks; "
+            f"got n={n}"
+        )
+    bshape = f.shape[:-1]
+    B = int(np.prod(bshape)) if bshape else 1
+    f2 = f.reshape(B, n)
+    if rows is None:
+        rows = _pick_rows(n, f.dtype.itemsize)
+    rows = min(rows, max(8, -(-B // 8) * 8))
+    Bp = -(-B // rows) * rows
+    if Bp != B:
+        f2 = jnp.pad(f2, ((0, Bp - B), (0, 0)))
+    Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, n)
+    if Q is None:  # periodic: keep the kernel signature static
+        Q = np.zeros((1, n), np.float32)
+    scale = jnp.asarray(wfold, jnp.float32) / jnp.asarray(dx, jnp.float32)
+    out = _call_lane(
+        f2,
+        jnp.asarray(Tm) * scale,
+        jnp.asarray(D),
+        jnp.asarray(Q) * scale,
+        scheme=scheme,
+        n=n,
+        rows=rows,
+        interpret=interpret,
+    )
+    if Bp != B:
+        out = out[:B]
+    return out.reshape(f.shape)

@@ -249,3 +249,52 @@ def test_jvp_matches_linearity(rng):
     fn = lambda h: cfd_tpu.derivative(h, 0.1, SCHEME6, axis=0)
     _, jv = jax.jvp(fn, (f,), (v,))
     np.testing.assert_allclose(np.asarray(jv), np.asarray(fn(v)), rtol=1e-11)
+
+
+@pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
+@pytest.mark.parametrize("n", [256, 384])
+def test_lane_kernel_interpret_vs_oracle(rng, scheme, n):
+    # the transpose-free lane-axis kernel (interpreter mode on CPU), f32,
+    # with a +3 mean offset — the cancellation stress that exposed the
+    # f-space functional bug (see ops/pallas_lane.py docstring)
+    from cfd_tpu.ops.pallas_lane import lane_derivative
+
+    dx = 2 * np.pi / n
+    x = np.arange(n) * dx
+    # cast BEFORE the oracle: the comparison measures the kernel's own f32
+    # arithmetic, not the d/dx-amplified input rounding (~2e-5 at 1/dx=41)
+    f = (
+        (np.sin(x) + 3.0)[None, :] * (1 + 0.1 * rng.standard_normal((16, 1)))
+    ).astype(np.float32)
+    got = np.asarray(
+        lane_derivative(jnp.asarray(f), dx, scheme, interpret=True)
+    )
+    expect = derivative_np(scheme, np.asarray(f, np.float64), dx, axis=-1)
+    scale = np.abs(expect).max()
+    assert np.abs(got - expect).max() / scale < 1e-5
+
+
+def test_lane_kernel_batch_padding(rng):
+    # batch sizes that don't divide the row-block size exercise the pad path
+    from cfd_tpu.ops.pallas_lane import lane_derivative
+
+    n = 256
+    dx = 0.01
+    f = rng.standard_normal((3, 7, n)).astype(np.float32)
+    got = np.asarray(
+        lane_derivative(jnp.asarray(f), dx, SCHEME4, interpret=True)
+    )
+    expect = derivative_np(SCHEME4, np.asarray(f, np.float64), dx, axis=-1)
+    assert np.abs(got - expect).max() / np.abs(expect).max() < 1e-5
+
+
+def test_lane_kernel_rejects_unsupported():
+    from cfd_tpu.ops.pallas_lane import lane_derivative, lane_supported
+
+    assert not lane_supported(SCHEME4, 100, jnp.float32)  # not 128-multiple
+    assert not lane_supported(SCHEME4, 128, jnp.float32)  # single block
+    assert not lane_supported(SCHEME4, 256, jnp.float64)
+    with pytest.raises(ValueError):
+        lane_derivative(jnp.zeros((4, 100), jnp.float32), 0.1, SCHEME4)
+    with pytest.raises(ValueError):
+        lane_derivative(jnp.zeros((4, 256), jnp.float64), 0.1, SCHEME4)
