@@ -65,6 +65,13 @@ class Config:
             z, y, x = (int(v) for v in raw.split(","))
             return (z, y, x)
 
+        def ftriple(raw):
+            parts = [float(v) for v in raw.split(",")]
+            if len(parts) == 1:  # CFD_SPACING=0.01 means isotropic
+                parts = parts * 3
+            dz, dy, dx = parts
+            return (dz, dy, dx)
+
         base = dict(
             order=get("ORDER", int, cls.order),
             periodic=get("PERIODIC", lambda s: s.lower() in ("1", "true"), cls.periodic),
@@ -72,6 +79,7 @@ class Config:
             method=get("METHOD", str, cls.method),
             mesh_shape=get("MESH", triple, cls.mesh_shape),
             grid_shape=get("GRID", triple, cls.grid_shape),
+            spacing=get("SPACING", ftriple, cls.spacing),
         )
         base.update(overrides)
         return cls(**base)

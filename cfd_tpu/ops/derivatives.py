@@ -86,6 +86,15 @@ def _pick_blocks(n: int) -> int:
     for nb in range(2, n // 64 + 1):
         if n % nb == 0 and 64 <= n // nb <= _MATMUL_BLOCK:
             return nb
+    import warnings
+
+    warnings.warn(
+        f"line length {n} has no divisor in [64, {_MATMUL_BLOCK}]; the "
+        "'matmul' backend falls back to the full dense (n, n) operator — "
+        "O(n) FLOPs/point and an O(n^2) table. Consider method='pcr' (any "
+        "n) or padding to a multiple of 128 for the fused lane kernel.",
+        stacklevel=3,
+    )
     return 1
 
 

@@ -386,6 +386,16 @@ class DistributedCompactSolver:
         from ..ops.derivatives import resolve_method
 
         method = resolve_method(self.method, f.dtype, n // p)
+        if method == "thomas":
+            # the distributed local solve has no scan-based Thomas variant;
+            # it would ship PCR tables anyway, so alias explicitly rather
+            # than silently running a different backend than requested
+            method = "pcr"
+        if method == "pallas" and f.dtype == jnp.float64:
+            raise ValueError(
+                "the distributed Pallas path supports float32/bfloat16 only; "
+                "use method='pcr' for float64 runs"
+            )
         dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
         tables = direction_tables(scheme, n, p)
         # ship only the table arrays this method consumes

@@ -32,9 +32,15 @@ def _build_chain(step: Callable, k: int):
     def run(x):
         def body(_, y):
             out = step(y)
+            if out.shape == y.shape:
+                return out
             # force the next iteration to depend on this one even if step's
-            # output shape differs from its input: fold out's mean back in
-            return y + 0 * jnp.mean(out).astype(y.dtype) if out.shape != y.shape else out
+            # output shape differs from its input. The folded-in summary
+            # must not be provably zero (XLA simplifies 0*x away and would
+            # dead-code-eliminate the step): scale by a tiny constant that
+            # underflows in the addition but survives simplification.
+            s = jnp.mean(out).astype(y.dtype)
+            return y * (1 + jnp.asarray(1e-38, y.dtype) * s)
 
         return jax.lax.fori_loop(0, k, body, x)
 
@@ -71,7 +77,8 @@ def chain_time(
         # sync that provably waits for execution on tunnelled runtimes
         # (block_until_ready has been observed to return at enqueue)
         r = fn(xi)
-        return float(np.asarray(jnp.sum(r[..., :1, :1])))
+        corner = r[(slice(0, 1),) * r.ndim] if r.ndim else r
+        return float(np.asarray(jnp.sum(corner)))
 
     # compile + warm both on a variant never used for timing
     sync_run(small, variants[-1])

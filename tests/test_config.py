@@ -38,3 +38,12 @@ def test_make_grid():
     c = Config(mesh_shape=(2, 2, 2), grid_shape=(16, 16, 16), method="pcr")
     g = c.make_grid()
     assert g.local_shape == (8, 8, 8)
+
+
+def test_from_env_spacing(monkeypatch):
+    from cfd_tpu.config import Config
+
+    monkeypatch.setenv("CFD_SPACING", "0.1,0.2,0.3")
+    assert Config.from_env().spacing == (0.1, 0.2, 0.3)
+    monkeypatch.setenv("CFD_SPACING", "0.05")
+    assert Config.from_env().spacing == (0.05, 0.05, 0.05)

@@ -427,3 +427,24 @@ def test_distributed_xyz_field_like_reference():
     np.testing.assert_allclose(got, y * z, rtol=1e-9, atol=1e-10)
     got_y = np.asarray(solver.dfdy(grid.distribute(jnp.asarray(f))))
     np.testing.assert_allclose(got_y, x * z, rtol=1e-9, atol=1e-10)
+
+
+def test_distributed_thomas_aliases_pcr():
+    # method='thomas' has no distributed scan variant; it must run the PCR
+    # tables and stay oracle-exact rather than silently diverging
+    n = 32
+    grid = Grid(_mesh((2, 2, 2)), (n, n, n), (0.1, 0.1, 0.1), SCHEME4)
+    f = jnp.sin(jnp.arange(n) * 0.1)
+    f = grid.distribute(jnp.broadcast_to(f, (n, n, n)))
+    got = cfd_tpu.DistributedCompactSolver(grid, method="thomas").dfdx(f)
+    ref = cfd_tpu.DistributedCompactSolver(grid, method="pcr").dfdx(f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
+
+
+def test_distributed_pallas_rejects_f64():
+    n = 32
+    grid = Grid(_mesh((2, 2, 2)), (n, n, n), (0.1, 0.1, 0.1), SCHEME4)
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="pallas")
+    f = grid.distribute(jnp.zeros((n, n, n), jnp.float64))
+    with pytest.raises(ValueError, match="float32"):
+        solver.dfdx(f)
