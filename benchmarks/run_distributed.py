@@ -8,7 +8,13 @@ for a functional 8-way run (numbers are then CPU numbers — the reference's
 committed logs in perf-test/multi-GPU/ref-results are the comparison for
 real multi-chip runs).
 
-    CFD_MESH=1,1,1 CFD_GRID=256,256,256 python benchmarks/run_distributed.py
+    CFD_MESH=1,1,1 CFD_GRID=256,256,256 CFD_SPACING=0.0245 \\
+        python benchmarks/run_distributed.py
+
+Before timing, the computed dfdx is checked against the exact analytic
+gradient of the benchmark field (CFD_SPACING sets the physical grid, so the
+check is meaningful at any CFD_GRID); implausible throughput above the
+duplex-HBM roofline is flagged ``"suspect"``.
 """
 
 import json
@@ -27,6 +33,8 @@ from cfd_tpu.config import Config
 from cfd_tpu.models import benchmark_field
 from cfd_tpu.utils.timing import chain_time
 
+ROOFLINE_PTS_PER_S = 0.82e12 / 8  # one f32 read + write at duplex HBM speed
+
 
 def main():
     cfg = Config.from_env()  # method defaults to "auto"; CFD_METHOD overrides
@@ -34,27 +42,42 @@ def main():
     nz, ny, nx = cfg.grid_shape
     z, y, x = (jnp.arange(n, dtype=jnp.float32) * d for n, d in
                zip(cfg.grid_shape, cfg.spacing))
-    f, _ = benchmark_field(z, y, x)  # the reference harness field
+    f, (gx, _, _) = benchmark_field(z, y, x)  # the reference harness field
     fj = grid.distribute(f.astype(cfg.jax_dtype))
     solver = cfd_tpu.DistributedCompactSolver(grid, method=cfg.method)
 
+    # accuracy gate: the analytic df/dx of the benchmark field, to a
+    # tolerance covering scheme truncation at this spacing plus the dtype
+    got = np.asarray(solver.dfdx(fj), np.float64)
+    ex = np.asarray(gx, np.float64)
+    rel = np.abs(got - ex).max() / np.abs(ex).max()
+    kmax = float(np.max(np.abs(np.asarray(y))))  # d/dx wavenumber ~ y
+    trunc = (kmax * cfg.spacing[2]) ** cfg.order
+    tol = 5.0 * trunc + {"float64": 1e-10, "float32": 5e-4, "bfloat16": 5e-2}[cfg.dtype]
+    row = {
+        "bench": "distributed_dfdx",
+        "mesh": "x".join(map(str, cfg.mesh_shape)),
+        "grid": f"{nz}x{ny}x{nx}",
+        "method": cfg.method,
+        "dtype": cfg.dtype,
+        "rel_err_vs_analytic": round(float(rel), 9),
+    }
+    if not np.isfinite(rel) or rel > tol:
+        row["gate"] = "failed"
+        row["tol"] = tol
+        print(json.dumps(row))
+        sys.exit(1)
+
     t = chain_time(solver.dfdx, fj, k_small=2, k_big=18, repeats=3)
     npts = nz * ny * nx
-    print(
-        json.dumps(
-            {
-                "bench": "distributed_dfdx",
-                "mesh": "x".join(map(str, cfg.mesh_shape)),
-                "grid": f"{nz}x{ny}x{nx}",
-                "method": cfg.method,
-                "ms": round(t * 1e3, 4),
-                "gpts_per_s": round(npts / t / 1e9, 3),
-                "mpts_per_s_per_device": round(
-                    npts / t / 1e6 / math.prod(cfg.mesh_shape), 2
-                ),
-            }
-        )
+    row["ms"] = round(t * 1e3, 4)
+    row["gpts_per_s"] = round(npts / t / 1e9, 3)
+    row["mpts_per_s_per_device"] = round(
+        npts / t / 1e6 / math.prod(cfg.mesh_shape), 2
     )
+    if npts / t > 1.25 * ROOFLINE_PTS_PER_S * math.prod(cfg.mesh_shape):
+        row["suspect"] = True
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,111 @@
+"""Multi-device functional-scaling sweep on the virtual CPU mesh.
+
+The honest stand-in for the reference's 15-config multi-GPU table
+(perf-test/multi-GPU/PyCUDA/ref-results/, tabulated in BASELINE.md) until
+real multi-chip TPU hardware is attached: runs the full distributed
+derivative pipeline for all three directions over 8 virtual CPU devices,
+records the per-phase breakdown (halo+RHS+local solve / reduced interface
+system / rank-2 update — the same phase split the reference logs) and an
+analytic accuracy check for every configuration. Demonstrates that the
+collective path (ppermute halos, all_gather reduced solve) scales across
+mesh shapes and stays exact; absolute times are CPU times.
+
+    python benchmarks/run_scaling.py [--sizes 128,256] [--out results.json]
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+import cfd_tpu
+from cfd_tpu.models import benchmark_field
+from cfd_tpu.parallel import Grid, make_mesh
+from cfd_tpu.schemes import SCHEME4
+from cfd_tpu.utils.timing import chain_time
+
+MESHES = [(2, 2, 2), (1, 1, 8), (1, 8, 1), (8, 1, 1)]
+AXES = [("dfdx", 2), ("dfdy", 1), ("dfdz", 0)]
+
+
+def run_config(mesh_shape, n, results):
+    d = 2 * math.pi / n
+    mesh = make_mesh(mesh_shape)
+    grid = Grid(mesh, (n, n, n), (d, d, d), SCHEME4)
+    c = jnp.arange(n, dtype=jnp.float32) * d
+    f, exact = benchmark_field(c, c, c)
+    fj = grid.distribute(f.astype(jnp.float32))
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    kmax = 2 * math.pi  # benchmark-field wavenumbers reach the domain length
+    trunc_tol = 5.0 * (kmax * d) ** 4 + 5e-4
+
+    for name, axis in AXES:
+        got = np.asarray(solver._derivative(fj, axis), np.float64)
+        # exact = (dfdx, dfdy, dfdz); axis 2 is x, 1 is y, 0 is z
+        ex = np.asarray(exact[2 - axis], np.float64)
+        rel = float(np.abs(got - ex).max() / np.abs(ex).max())
+        row = {
+            "bench": "distributed_scaling",
+            "mesh": "x".join(map(str, mesh_shape)),
+            "grid": f"{n}^3",
+            "op": name,
+            "rel_err_vs_analytic": round(rel, 9),
+            "gate": "passed" if rel < trunc_tol else "failed",
+        }
+        if row["gate"] == "passed":
+            t = chain_time(
+                lambda g, axis=axis: solver._derivative(g, axis),
+                fj,
+                k_small=1,
+                k_big=5,
+                repeats=2,
+            )
+            row["ms"] = round(t * 1e3, 3)
+            row["mpts_per_s_per_device"] = round(n**3 / t / 1e6 / 8, 2)
+            phases = solver.profile_derivative(fj, axis=axis, verbose=False)
+            row["phases_ms"] = {k: round(v * 1e3, 3) for k, v in phases.items()}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="128,256")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    results = []
+    for n in (int(s) for s in args.sizes.split(",")):
+        for mesh_shape in MESHES:
+            run_config(mesh_shape, n, results)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(
+                {
+                    "platform": jax.default_backend(),
+                    "n_devices": jax.device_count(),
+                    "note": (
+                        "functional scaling on 8 virtual CPU devices — "
+                        "correctness + phase structure, not TPU speed"
+                    ),
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,15 @@ Writes one JSON object per line to stdout and (optionally) a results file:
 
 All timings use chain-slope measurement (cfd_tpu.utils.timing.chain_time) —
 see that module for why naive block_until_ready timing is invalid here.
+Every row passes two gates before it is recorded:
+
+* accuracy — solve-only rows check the tridiagonal residual ||Tx - rhs||,
+  derivative rows check against the analytic gradient of the reference's
+  benchmark field; a row that fails is recorded with ``"gate": "failed"``
+  and no timing.
+* plausibility — throughput above the duplex-HBM roofline (~205 Gpt/s for
+  one f32 read + one write) is a measurement artifact, recorded as
+  ``"suspect": true`` (round 1 committed a 2.6e8 Gpt/s row; never again).
 """
 
 import argparse
@@ -35,6 +44,31 @@ from cfd_tpu.ops.pallas_fused import solve_lines_pallas
 from cfd_tpu.schemes import SCHEME4, lhs_bands
 from cfd_tpu.utils.timing import chain_time
 
+# one f32 read + one f32 write at duplex HBM speed (~0.82 TB/s each way on
+# v5e) bounds any derivative/solve at ~205 Gpt/s
+ROOFLINE_PTS_PER_S = 0.82e12 / 8
+NOISE_FLOOR_MS = 0.02  # chain deltas below this are dispatch noise
+
+
+def _emit(results, row, t=None, npts=None):
+    if t is not None:
+        row["ms"] = round(t * 1e3, 4)
+        row["gpts_per_s"] = round(npts / t / 1e9, 3)
+        if npts / t > 1.25 * ROOFLINE_PTS_PER_S or t * 1e3 < NOISE_FLOOR_MS:
+            row["suspect"] = True
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def _residual(x, rhs, n):
+    """max |T x - rhs| / max |rhs| for the SCHEME4 LHS, numpy f64."""
+    dl, d, du = lhs_bands(SCHEME4, n)
+    x = np.asarray(x, np.float64)
+    r = d[:, None] * x
+    r[1:] += dl[1:, None] * x[:-1]
+    r[:-1] += du[:-1, None] * x[1:]
+    return float(np.abs(r - np.asarray(rhs, np.float64)).max() / np.abs(rhs).max())
+
 
 def bench_solve_only(n, results):
     """Batched near-Toeplitz solve of n^2 lines of length n (solve only)."""
@@ -50,17 +84,22 @@ def bench_solve_only(n, results):
     if jax.default_backend() == "cpu":
         steps.pop("pallas_thomas")
     for name, step in steps.items():
+        row = {"bench": "solve_only", "solver": name, "grid": f"{n}^3"}
+        target = np.asarray(rhs_t, np.float64)[:, :1024]
+        if name == "pallas_thomas":
+            # the fused kernel solves T x = B r (stencil included): check
+            # the residual against B r, not r
+            from cfd_tpu.schemes import rhs_matrix
+
+            target = rhs_matrix(SCHEME4, n) @ target
+        res = _residual(np.asarray(step(rhs_t))[:, :1024], target, n)
+        if res > 1e-4:
+            row["gate"] = "failed"
+            row["residual"] = res
+            _emit(results, row)
+            continue
         t = chain_time(step, rhs_t, k_small=2, k_big=14, repeats=2)
-        results.append(
-            {
-                "bench": "solve_only",
-                "solver": name,
-                "grid": f"{n}^3",
-                "ms": round(t * 1e3, 4),
-                "gpts_per_s": round(n**3 / t / 1e9, 3),
-            }
-        )
-        print(json.dumps(results[-1]), flush=True)
+        _emit(results, row, t, n**3)
 
     # library comparison: XLA's tridiagonal_solve (cusparse-gtsv analogue)
     try:
@@ -73,44 +112,53 @@ def bench_solve_only(n, results):
         def lib_step(r):
             return jax.lax.linalg.tridiagonal_solve(dlb, db, dub, r)
 
-        t = chain_time(lib_step, rhs_b, k_small=2, k_big=6, repeats=2)
-        results.append(
-            {
-                "bench": "solve_only",
-                "solver": "lax.tridiagonal_solve",
-                "grid": f"{n}^3",
-                "ms": round(t * 1e3, 4),
-                "gpts_per_s": round(n**3 / t / 1e9, 3),
-            }
-        )
-        print(json.dumps(results[-1]), flush=True)
+        row = {"bench": "solve_only", "solver": "lax.tridiagonal_solve", "grid": f"{n}^3"}
+        x_lib = np.asarray(lib_step(rhs_b))[:1024, :, 0].T
+        res = _residual(x_lib, np.asarray(rhs_b)[:1024, :, 0].T, n)
+        if res > 1e-4:
+            row["gate"] = "failed"
+            row["residual"] = res
+            _emit(results, row)
+        else:
+            t = chain_time(lib_step, rhs_b, k_small=2, k_big=6, repeats=2)
+            _emit(results, row, t, n**3)
     except Exception as e:  # pragma: no cover - library path may be missing
         print(json.dumps({"bench": "solve_only", "solver": "lax", "error": str(e)}))
 
 
 def bench_full_derivative(n, results):
-    """Full dfdx/dfdy/dfdz pipeline on an n^3 field."""
-    dx = 2 * math.pi / n
-    rng = np.random.default_rng(1)
-    f = jnp.asarray(rng.random((n, n, n), np.float32))
+    """Full dfdx/dfdy/dfdz pipeline on the reference's analytic field.
+
+    Gate: each op is checked against the float64 scipy-banded oracle on the
+    same (f32-cast) field before timing — this isolates backend arithmetic
+    from the scheme's truncation error.
+    """
+    from cfd_tpu.models import benchmark_field
+    from cfd_tpu.oracle import derivative_np
+
+    d = 2 * math.pi / n
+    c = jnp.arange(n, dtype=jnp.float32) * d
+    f, _ = benchmark_field(c, c, c)
+    f = f.astype(jnp.float32)
+    f_host = np.asarray(f, np.float64)
     method = "auto"
-    for name, step in (
-        ("dfdx", lambda g: cfd_tpu.dfdx(g, dx, SCHEME4, method=method)),
-        ("dfdy", lambda g: cfd_tpu.dfdy(g, dx, SCHEME4, method=method)),
-        ("dfdz", lambda g: cfd_tpu.dfdz(g, dx, SCHEME4, method=method)),
+    for name, axis, step in (
+        ("dfdx", -1, lambda g: cfd_tpu.dfdx(g, d, SCHEME4, method=method)),
+        ("dfdy", -2, lambda g: cfd_tpu.dfdy(g, d, SCHEME4, method=method)),
+        ("dfdz", -3, lambda g: cfd_tpu.dfdz(g, d, SCHEME4, method=method)),
     ):
+        row = {"bench": "full_derivative", "op": name, "method": method, "grid": f"{n}^3"}
+        got = np.asarray(step(f))
+        ex = derivative_np(SCHEME4, f_host, d, axis=axis)
+        err = np.abs(got - ex).max() / np.abs(ex).max()
+        if not np.isfinite(err) or err > 5e-4:
+            row["gate"] = "failed"
+            row["rel_err"] = float(err)
+            _emit(results, row)
+            continue
+        row["rel_err"] = round(float(err), 9)
         t = chain_time(step, f, k_small=2, k_big=14, repeats=2)
-        results.append(
-            {
-                "bench": "full_derivative",
-                "op": name,
-                "method": method,
-                "grid": f"{n}^3",
-                "ms": round(t * 1e3, 4),
-                "gpts_per_s": round(n**3 / t / 1e9, 3),
-            }
-        )
-        print(json.dumps(results[-1]), flush=True)
+        _emit(results, row, t, n**3)
 
 
 def main():

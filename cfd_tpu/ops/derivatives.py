@@ -52,7 +52,10 @@ def resolve_method(method: str, dtype, n: int, minor_axis: bool = False) -> str:
         return method
     if dtype == jnp.float64 or jax.default_backend() == "cpu":
         return "pcr"
-    if minor_axis:
+    if minor_axis and dtype == jnp.float32:
+        # f32 only: bf16 fields are fastest through the single-pass MXU
+        # matmul (325 vs 91 Gpt/s measured at 256^3 — the lane kernel's
+        # f32-internal HIGHEST dots are a pure tax there)
         from .pallas_lane import lane_supported
 
         if lane_supported(None, n, dtype):

@@ -453,15 +453,17 @@ class DistributedCompactSolver:
             self.dfdx(uy) - self.dfdy(ux),
         )
 
-    def profile_dfdx(self, f, verbose: bool = True):
-        """Per-phase wall-clock breakdown of one dfdx, reference-style.
+    def profile_derivative(self, f, axis: int = 2, verbose: bool = True):
+        """Per-phase wall-clock breakdown of one derivative, reference-style.
 
-        The analogue of the @timeit phase report the reference prints for
-        compute_RHS / primary / reduced / sum (code/cuda/timer.py:4-16,
-        compact.py:46-65). Each phase is dispatched and synced separately,
-        so the numbers include per-dispatch overhead — indicative on
-        tunnelled runtimes, accurate on locally attached devices; use
-        utils.timing.chain_time on the full op for benchmark figures.
+        Works for any of the three directions (``axis`` 0=z, 1=y, 2=x over
+        the trailing dims, like ``_derivative``). The analogue of the
+        @timeit phase report the reference prints for compute_RHS /
+        primary / reduced / sum (code/cuda/timer.py:4-16, compact.py:46-65).
+        Each phase is dispatched and synced separately, so the numbers
+        include per-dispatch overhead — indicative on tunnelled runtimes,
+        accurate on locally attached devices; use utils.timing.chain_time
+        on the full op for benchmark figures.
         """
         import numpy as np
 
@@ -470,17 +472,21 @@ class DistributedCompactSolver:
 
         grid = self.grid
         scheme = grid.scheme
-        axis_name = AXIS_NAMES[2]
-        p = grid.proc_shape[2]
-        n = grid.shape[2]
-        inv_dx = 1.0 / grid.spacing[2]
+        axis3 = axis % 3
+        axis_name = AXIS_NAMES[axis3]
+        p = grid.proc_shape[axis3]
+        n = grid.shape[axis3]
+        inv_dx = 1.0 / grid.spacing[axis3]
         method = resolve_method(self.method, f.dtype, n // p)
+        if method == "thomas":
+            method = "pcr"
         tables = direction_tables(scheme, n, p)
         dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
         names = tables.fields_for(method) if p > 1 else ()
         arrays = tuple(jnp.asarray(getattr(tables, nm), dtype) for nm in names)
         spec = grid.spec()
         tab_specs = tuple(P(axis_name) for _ in arrays)
+        src = axis3 - 3  # the differentiated axis, negative indexing
         timings = {}
 
         def run(name, fn, *args):
@@ -505,7 +511,7 @@ class DistributedCompactSolver:
         local = smap(
             lambda fl, *tabs: jnp.moveaxis(
                 (_dist_lines if p == 1 else _phase_local_solve)(
-                    jnp.moveaxis(fl, -1, 0),
+                    jnp.moveaxis(fl, src, 0),
                     dict(zip(names, tabs)),
                     scheme=scheme,
                     axis_name=axis_name,
@@ -515,36 +521,48 @@ class DistributedCompactSolver:
                     interpret=self.interpret,
                 ),
                 0,
-                -1,
+                src,
             ),
             (spec,) + tab_specs,
             spec,
         )
         x_r = run("rhs_and_primary_solve", local, f, *arrays)
         if p > 1:
-            ab_spec = P("x", "z", "y", None)
+            # interface weights: shard-singleton over the line axis, local
+            # batch dims in their original order, (alpha, beta) trailing
+            others = tuple(nm for nm in AXIS_NAMES if nm != axis_name)
+            ab_spec = P(axis_name, *others, None)
 
             def reduced_body(xr, *tabs):
                 ab = _phase_reduced(
-                    jnp.moveaxis(xr, -1, 0),
+                    jnp.moveaxis(xr, src, 0),
                     dict(zip(names, tabs)),
                     scheme=scheme,
                     axis_name=axis_name,
                     p=p,
-                )  # (2, zl, yl)
-                return jnp.moveaxis(ab, 0, -1)[None]  # (1, zl, yl, 2)
+                )  # (2, *batch)
+                return jnp.moveaxis(ab, 0, -1)[None]  # (1, *batch, 2)
 
             reduced = smap(reduced_body, (spec,) + tab_specs, ab_spec)
             ab = run("reduced_system", reduced, x_r, *arrays)
 
             def update_body(xr, abg, *tabs):
-                ab_local = jnp.moveaxis(abg[0], -1, 0)  # (2, zl, yl)
+                ab_local = jnp.moveaxis(abg[0], -1, 0)  # (2, *batch)
                 out = _phase_update(
-                    jnp.moveaxis(xr, -1, 0), ab_local, dict(zip(names, tabs))
+                    jnp.moveaxis(xr, src, 0), ab_local, dict(zip(names, tabs))
                 )
-                return jnp.moveaxis(out, 0, -1)
+                return jnp.moveaxis(out, 0, src)
 
             update = smap(update_body, (spec, ab_spec) + tab_specs, spec)
             run("sum_solutions", update, x_r, ab, *arrays)
-        run("full_dfdx", self.dfdx, f)
+        run("full_derivative", lambda g: self._derivative(g, axis3), f)
         return timings
+
+    def profile_dfdx(self, f, verbose: bool = True):
+        return self.profile_derivative(f, axis=2, verbose=verbose)
+
+    def profile_dfdy(self, f, verbose: bool = True):
+        return self.profile_derivative(f, axis=1, verbose=verbose)
+
+    def profile_dfdz(self, f, verbose: bool = True):
+        return self.profile_derivative(f, axis=0, verbose=verbose)

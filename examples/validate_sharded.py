@@ -1,15 +1,21 @@
-"""Large sharded-solve validation (BASELINE.json config 4, scaled to the
-available virtual mesh).
+"""Large sharded-solve validation (BASELINE.json config 4).
 
-The north star asks for a sharded 1024^3 solve on a v5p-16 matching CPU
-reference tolerance; without multi-chip hardware this script runs the same
-code path — pencil decomposition, ppermute halos, distributed reduced
-system — on an 8-device virtual CPU mesh at the largest size that's
-practical there, checking against the analytic derivative.
+The north star asks for a sharded 1024^3 solve matching reference tolerance.
+Without multi-chip hardware this script runs the same code path — pencil
+decomposition, ppermute halos, distributed reduced system — on an 8-device
+virtual CPU mesh at the full 1024^3 size:
 
-    python examples/validate_sharded.py [N=256]
+* the field is built **per shard on device** (jit with sharded output from
+  the grid's sharded coordinate arrays) — no 4 GiB host->device transfer,
+  which the tunnelled runtime rejects and which round 1 worked around by
+  scaling the problem down;
+* the error norm is a jitted reduction over the sharded arrays — no
+  gather back to one host.
+
+    python examples/validate_sharded.py [N=1024]
 """
 
+import functools
 import math
 import os
 import sys
@@ -25,27 +31,39 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
-import numpy as np
 
 import cfd_tpu
 from cfd_tpu.parallel import Grid, make_mesh
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     dx = 2 * math.pi / n
     mesh = make_mesh((2, 2, 2))
     grid = Grid(mesh, (n, n, n), (dx, dx, dx), cfd_tpu.get_scheme(4, periodic=True))
-    x = (np.arange(n) * dx).astype(np.float32)
-    f = grid.distribute(jnp.asarray(np.broadcast_to(np.sin(x), (n, n, n)).copy()))
+    _, _, x = grid.coordinates()  # sharded 1-D coordinates
+
+    @functools.partial(jax.jit, out_shardings=grid.sharding)
+    def build(xc):
+        # each device materialises only its own pencil
+        return jnp.broadcast_to(
+            jnp.sin(xc.astype(jnp.float32))[None, None, :], grid.shape
+        )
+
+    f = build(x)
     solver = cfd_tpu.DistributedCompactSolver(grid)
     t0 = time.time()
     df = solver.dfdx(f)
-    err = float(jnp.max(jnp.abs(df - jnp.cos(jnp.asarray(x)))))
+
+    @jax.jit
+    def max_err(d, xc):
+        return jnp.max(jnp.abs(d - jnp.cos(xc.astype(jnp.float32))[None, None, :]))
+
+    err = float(max_err(df, x))
     dt = time.time() - t0
     print(
         f"sharded {n}^3 dfdx on 2x2x2 mesh: max abs err = {err:.3e} "
-        f"({dt:.1f}s incl. compile)"
+        f"({dt:.1f}s incl. compile, gather-free)"
     )
     assert err < 5e-5, err
 

@@ -298,3 +298,34 @@ def test_lane_kernel_rejects_unsupported():
         lane_derivative(jnp.zeros((4, 100), jnp.float32), 0.1, SCHEME4)
     with pytest.raises(ValueError):
         lane_derivative(jnp.zeros((4, 256), jnp.float64), 0.1, SCHEME4)
+
+
+@pytest.mark.parametrize(
+    "scheme,order",
+    [
+        (SCHEME4, 4),
+        (SCHEME6, 5),
+        (SCHEME4_PERIODIC, 4),
+        (SCHEME6_PERIODIC, 6),
+    ],
+    ids=["pade4", "lele6", "pade4_periodic", "lele6_periodic"],
+)
+def test_device_path_convergence_order(scheme, order):
+    """Refinement sweep through the device API (f64 PCR path), with
+    asserted rates — the reference's test_convergence.py only prints
+    (code/cuda/test/test_convergence.py:23-52)."""
+    errs = []
+    for n in (32, 64, 128, 256):
+        if scheme.periodic:
+            dx = 2 * np.pi / n
+            x = np.arange(n) * dx
+        else:
+            x = np.linspace(0.0, 1.0, n)
+            dx = x[1] - x[0]
+        f = jnp.asarray(np.sin(4 * x))
+        df = np.asarray(cfd_tpu.derivative(f, dx, scheme, axis=-1, method="pcr"))
+        errs.append(np.max(np.abs(df - 4 * np.cos(4 * x))))
+    rates = np.log2(np.array(errs[:-1]) / np.array(errs[1:]))
+    # non-periodic global order is limited by the closure at the wall, but
+    # boundary-layer weighting keeps observed rates near the interior order
+    assert np.all(rates > order - 1.2), (errs, rates)

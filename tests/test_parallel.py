@@ -298,7 +298,7 @@ def test_profile_dfdx_phases():
     solver = cfd_tpu.DistributedCompactSolver(grid)
     f = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8, 32)))
     t = solver.profile_dfdx(f, verbose=False)
-    assert {"rhs_and_primary_solve", "reduced_system", "sum_solutions", "full_dfdx"} <= set(t)
+    assert {"rhs_and_primary_solve", "reduced_system", "sum_solutions", "full_derivative"} <= set(t)
     assert all(v > 0 for v in t.values())
 
 
@@ -367,7 +367,7 @@ def test_profile_dfdx_unsharded_x():
     solver = cfd_tpu.DistributedCompactSolver(grid)
     f = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 16)))
     t = solver.profile_dfdx(f, verbose=False)
-    assert t["full_dfdx"] > 0
+    assert t["full_derivative"] > 0
 
 
 def test_distributed_bf16_unsharded_axis():
@@ -448,3 +448,23 @@ def test_distributed_pallas_rejects_f64():
     f = grid.distribute(jnp.zeros((n, n, n), jnp.float64))
     with pytest.raises(ValueError, match="float32"):
         solver.dfdx(f)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_profile_derivative_all_axes(axis, capsys):
+    # the per-phase profiler must work for every direction (round 1's was
+    # x-only with a hardcoded output spec)
+    n = 32
+    d = 2 * np.pi / n
+    grid = Grid(_mesh((2, 2, 2)), (n, n, n), (d, d, d), SCHEME4)
+    c = jnp.arange(n, dtype=jnp.float32) * d
+    f = grid.distribute(jnp.broadcast_to(jnp.sin(c), (n, n, n)))
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    timings = solver.profile_derivative(f, axis=axis, verbose=False)
+    assert set(timings) == {
+        "rhs_and_primary_solve",
+        "reduced_system",
+        "sum_solutions",
+        "full_derivative",
+    }
+    assert all(v >= 0 for v in timings.values())
