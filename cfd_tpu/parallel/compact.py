@@ -235,10 +235,23 @@ def _dist_lines(
         if method == "matmul":
             out = derivative(fl, 1.0 / inv_dx, scheme, axis=0, method=method)
         else:
+            if method == "phipsi":  # whole line: any direct solver is exact
+                method = "pcr"
             out = _derivative_lines(
                 fl, 1.0 / inv_dx, scheme, method, interpret=interpret
             )
         return out.astype(orig_dtype)
+
+    if method == "phipsi":
+        from .phipsi import phipsi_lines
+
+        rhs = _assemble_rhs(
+            fl, tables=None, scheme=scheme, axis_name=axis_name, p=p,
+            inv_dx=inv_dx,
+        )
+        return phipsi_lines(
+            rhs, tables, axis_name=axis_name, p=p
+        ).astype(orig_dtype)
 
     x_r = _phase_local_solve(
         fl,
@@ -254,6 +267,25 @@ def _dist_lines(
     return _phase_update(x_r, ab, tables).astype(orig_dtype)
 
 
+def _halo_ghosts(fl, *, scheme, axis_name, p):
+    """Halo rows from neighbours, closure ghosts at physical ends."""
+    w = scheme.stencil_width
+    left, right = halo_slices(fl, axis_name, w, scheme.periodic)
+    if not scheme.periodic:
+        gl, gr = closure_ghosts(fl, scheme)
+        ridx = lax.axis_index(axis_name)
+        left = jnp.where(ridx == 0, gl, left)
+        right = jnp.where(ridx == p - 1, gr, right)
+    return left, right
+
+
+def _assemble_rhs(fl, *, tables, scheme, axis_name, p, inv_dx):
+    """Shard-local compact RHS with halo/ghost rows folded in."""
+    left, right = _halo_ghosts(fl, scheme=scheme, axis_name=axis_name, p=p)
+    f_ext = jnp.concatenate([left, fl, right], axis=0)
+    return stencil_rhs(f_ext, inv_dx, scheme)
+
+
 def _phase_local_solve(
     fl, tables, *, scheme, axis_name, p, inv_dx, method, interpret
 ):
@@ -266,12 +298,7 @@ def _phase_local_solve(
     bshape = fl.shape[1:]
     dtype = fl.dtype
 
-    left, right = halo_slices(fl, axis_name, w, scheme.periodic)
-    if not scheme.periodic:
-        gl, gr = closure_ghosts(fl, scheme)
-        ridx = lax.axis_index(axis_name)
-        left = jnp.where(ridx == 0, gl, left)
-        right = jnp.where(ridx == p - 1, gr, right)
+    left, right = _halo_ghosts(fl, scheme=scheme, axis_name=axis_name, p=p)
 
     if method == "pallas":
         from ..ops.pallas_fused import solve_lines_tables_pallas
@@ -352,8 +379,11 @@ class DistributedCompactSolver:
     (code/ocl/compact.py:41-61) — all three directions are first-class, with
     shard-local axis moves instead of host transposes.
 
-    ``method``: 'pcr' (XLA-level, any backend/dtype) or 'pallas' (fused TPU
-    kernel, f32/bf16).
+    ``method``: 'auto' (per dtype/size), 'pcr' (XLA-level, any
+    backend/dtype), 'pallas' (fused TPU kernel, f32/bf16), 'matmul' (dense
+    block inverses on the MXU), or 'phipsi' (the reference's second
+    distributed algorithm — parameterized-LU sweeps, non-periodic only;
+    see parallel/phipsi.py).
     """
 
     def __init__(
@@ -363,7 +393,7 @@ class DistributedCompactSolver:
         method: str = "auto",
         interpret: bool = False,
     ):
-        if method not in ("auto", "pcr", "thomas", "pallas", "matmul"):
+        if method not in ("auto", "pcr", "thomas", "pallas", "matmul", "phipsi"):
             raise ValueError(
                 f"method {method!r} is not supported on the distributed path"
             )
@@ -397,9 +427,15 @@ class DistributedCompactSolver:
                 "use method='pcr' for float64 runs"
             )
         dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
-        tables = direction_tables(scheme, n, p)
-        # ship only the table arrays this method consumes
-        names = tables.fields_for(method) if p > 1 else ()
+        if method == "phipsi":
+            from .phipsi import PHIPSI_FIELDS, phipsi_tables
+
+            tables = phipsi_tables(scheme, n, p)  # raises for periodic
+            names = PHIPSI_FIELDS if p > 1 else ()
+        else:
+            tables = direction_tables(scheme, n, p)
+            # ship only the table arrays this method consumes
+            names = tables.fields_for(method) if p > 1 else ()
         arrays = tuple(jnp.asarray(getattr(tables, nm), dtype) for nm in names)
 
         spec = grid.spec()

@@ -468,3 +468,61 @@ def test_profile_derivative_all_axes(axis, capsys):
         "full_derivative",
     }
     assert all(v >= 0 for v in timings.values())
+
+
+# ---------------------------------------------------------------------------
+# phi/psi distributed algorithm (the reference's second method, npts.c)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 1, 8)])
+@pytest.mark.parametrize("scheme", [SCHEME4, SCHEME6], ids=["pade4", "lele6"])
+def test_phipsi_matches_oracle_f64(mesh_shape, scheme):
+    n = 64  # 8 shards of lele6 need nl >= its 6-point closure stencil
+    d = 0.07
+    grid = Grid(_mesh(mesh_shape), (n, n, n), (d, d, d), scheme)
+    f = np.random.default_rng(3).standard_normal((n, n, n))
+    fj = grid.distribute(jnp.asarray(f))
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="phipsi")
+    got = np.asarray(solver.dfdx(fj))
+    expect = derivative_np(scheme, f, d, axis=-1)
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-11)
+    # cross-validate the two distributed algorithms against each other
+    sub = np.asarray(cfd_tpu.DistributedCompactSolver(grid, method="pcr").dfdx(fj))
+    np.testing.assert_allclose(got, sub, rtol=1e-10, atol=1e-11)
+
+
+def test_phipsi_dfdy_dfdz_f32():
+    n = 32
+    d = 2 * np.pi / n
+    grid = Grid(_mesh((2, 2, 2)), (n, n, n), (d, d, d), SCHEME4)
+    c = np.arange(n) * d
+    f = np.broadcast_to(np.sin(c)[None, :, None], (n, n, n)).astype(np.float32)
+    fj = grid.distribute(jnp.asarray(f))
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="phipsi")
+    got = np.asarray(solver.dfdy(fj))
+    expect = derivative_np(SCHEME4, np.asarray(f, np.float64), d, axis=-2)
+    assert np.abs(got - expect).max() / np.abs(expect).max() < 1e-5
+
+
+def test_phipsi_rejects_periodic():
+    n = 32
+    d = 0.1
+    grid = Grid(_mesh((2, 2, 2)), (n, n, n), (d, d, d), SCHEME4_PERIODIC)
+    f = grid.distribute(jnp.zeros((n, n, n)))
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="phipsi")
+    with pytest.raises(ValueError, match="non-periodic"):
+        solver.dfdx(f)
+
+
+def test_phipsi_single_shard_axis():
+    # p == 1 along the differentiated axis falls back to the local solver
+    n = 32
+    d = 0.05
+    grid = Grid(_mesh((8, 1, 1)), (n, n, n), (d, d, d), SCHEME4)
+    f = np.random.default_rng(4).standard_normal((n, n, n))
+    fj = grid.distribute(jnp.asarray(f))
+    solver = cfd_tpu.DistributedCompactSolver(grid, method="phipsi")
+    got = np.asarray(solver.dfdx(fj))
+    expect = derivative_np(SCHEME4, f, d, axis=-1)
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-11)
