@@ -79,32 +79,40 @@ def run_config(mesh_shape, n, results):
             row["phases_ms"] = {k: round(v * 1e3, 3) for k, v in phases.items()}
         results.append(row)
         print(json.dumps(row), flush=True)
+        if OUT_PATH:  # incremental: a killed sweep still leaves valid data
+            with open(OUT_PATH, "w") as fh:
+                json.dump(_payload(results), fh, indent=1)
+
+
+OUT_PATH = None
+
+
+def _payload(results):
+    return {
+        "platform": jax.default_backend(),
+        "n_devices": jax.device_count(),
+        "note": (
+            "functional scaling on 8 virtual CPU devices — "
+            "correctness + phase structure, not TPU speed"
+        ),
+        "results": results,
+    }
 
 
 def main():
+    global OUT_PATH
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="128,256")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    OUT_PATH = args.out
     results = []
     for n in (int(s) for s in args.sizes.split(",")):
         for mesh_shape in MESHES:
             run_config(mesh_shape, n, results)
-    if args.out:
-        with open(args.out, "w") as fh:
-            json.dump(
-                {
-                    "platform": jax.default_backend(),
-                    "n_devices": jax.device_count(),
-                    "note": (
-                        "functional scaling on 8 virtual CPU devices — "
-                        "correctness + phase structure, not TPU speed"
-                    ),
-                    "results": results,
-                },
-                fh,
-                indent=1,
-            )
+    if OUT_PATH:
+        with open(OUT_PATH, "w") as fh:
+            json.dump(_payload(results), fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -441,6 +441,37 @@ class DistributedCompactSolver:
         spec = grid.spec()
         tab_specs = tuple(P(axis_name) for _ in arrays)
 
+        if p == 1:
+            # the line axis is unsharded: take the axis-aware single-device
+            # path shard-locally (keeps the lane kernel for dfdx instead of
+            # moveaxis-ing lines to the leading axis; measured 49 -> 65+
+            # Gpt/s at 256^3 on a 1x1x1 mesh)
+            from ..ops.derivatives import derivative
+
+            method1 = "pcr" if self.method == "phipsi" else self.method
+            dx_val = grid.spacing[axis3]
+
+            def body1(fl):
+                # bf16 upcasts on every branch so accuracy does not depend
+                # on which mesh axis the derivative crosses (_dist_lines
+                # does the same on the sharded branches)
+                orig = fl.dtype
+                if orig == jnp.bfloat16:
+                    fl = fl.astype(jnp.float32)
+                out = derivative(
+                    fl, dx_val, scheme, axis=axis3 - 3, method=method1
+                )
+                return out.astype(orig)
+
+            fn1 = shard_map(
+                body1,
+                mesh=grid.mesh,
+                in_specs=(spec,),
+                out_specs=spec,
+                check_vma=False,
+            )
+            return fn1(f)
+
         def body(fl, *tabs):
             fl0 = jnp.moveaxis(fl, axis3 - 3, 0)
             x = _dist_lines(
