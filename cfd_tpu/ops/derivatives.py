@@ -38,27 +38,38 @@ __all__ = [
 _METHODS = ("auto", "pcr", "thomas", "pallas", "matmul", "stencil")
 
 
-def resolve_method(method: str, dtype, n: int, minor_axis: bool = False) -> str:
+def resolve_method(
+    method: str,
+    dtype,
+    n: int,
+    minor_axis: bool = False,
+    second_minor: bool = False,
+) -> str:
     """Resolve 'auto' to the fastest backend for this dtype/backend/size.
 
     On TPU (measured, v5e): along the minor (lane) axis the fused lane
-    kernel wins wherever it applies (69.6 vs the dense MXU operator's 48.8
-    Gpt/s at 256^3, 1.8x at n=512 — ops/pallas_lane.py). Elsewhere the
-    dense-operator MXU path wins for line lengths up to ``_MATMUL_BLOCK``;
-    beyond that the leading-axis fused Pallas kernel is faster. float64 and
-    CPU take the XLA-level PCR path.
+    kernel wins wherever it applies (63-70 vs the dense MXU operator's
+    48-54 Gpt/s at 256^3, 1.8x at n=512 — ops/pallas_lane.py). Along the
+    second-minor axis (dfdy) the sublane kernel wins (65 vs 50 Gpt/s at
+    256^3, 81 vs 32 at n=512 — its blocks are contiguous HBM slabs there,
+    ops/pallas_sublane.py). Along deeper axes (dfdz) the blocks stride and
+    the dense-operator MXU path stays ahead (54 vs 46 Gpt/s at 256^3) up to
+    ``_MATMUL_BLOCK``-length lines; past that the sublane kernel's O(128)
+    MACs/point win. float64 and CPU take the XLA-level PCR path.
     """
     if method != "auto":
         return method
     if dtype == jnp.float64 or jax.default_backend() == "cpu":
         return "pcr"
-    if minor_axis and dtype == jnp.float32:
+    if dtype == jnp.float32:
         # f32 only: bf16 fields are fastest through the single-pass MXU
-        # matmul (325 vs 91 Gpt/s measured at 256^3 — the lane kernel's
+        # matmul (325 vs 91 Gpt/s measured at 256^3 — the fused kernels'
         # f32-internal HIGHEST dots are a pure tax there)
         from .pallas_lane import lane_supported
 
-        if lane_supported(None, n, dtype):
+        if minor_axis and lane_supported(None, n, dtype):
+            return "pallas"
+        if second_minor and lane_supported(None, n, dtype):
             return "pallas"
     return "matmul" if n <= _MATMUL_BLOCK else "pallas"
 
@@ -349,13 +360,26 @@ def derivative(
         raise ValueError(f"unknown solver method {method!r}; expected {_METHODS}")
     axis = axis % f.ndim
     minor = axis == f.ndim - 1
-    method = resolve_method(method, f.dtype, f.shape[axis], minor_axis=minor)
+    method = resolve_method(
+        method,
+        f.dtype,
+        f.shape[axis],
+        minor_axis=minor,
+        second_minor=axis == f.ndim - 2,
+    )
     if method == "pallas" and minor:
         from .pallas_lane import lane_derivative, lane_supported
 
         if lane_supported(scheme, f.shape[axis], f.dtype):
             # transpose-free lane-axis kernel: one HBM read + one write
             return lane_derivative(f, dx, scheme)
+    if method == "pallas" and not minor:
+        from .pallas_sublane import sublane_derivative, sublane_supported
+
+        if sublane_supported(scheme, f.shape[axis], f.dtype):
+            # transpose-free sublane-axis kernel: trailing dims merge into
+            # the lane dimension, lines run along sublanes
+            return sublane_derivative(f, dx, scheme, axis=axis)
     if method == "matmul":
         # MXU passes for f32 inputs: 'highest' (bf16x6, ~1e-6 abs err on
         # smooth fields) is the default; 'high' (bf16x3) halves the MXU cost

@@ -1,0 +1,238 @@
+"""Sublane-axis fused compact-derivative Pallas kernel (dfdy/dfdz without
+transposes).
+
+``dfdy``/``dfdz`` differentiate non-minor axes of ``[..., nz, ny, nx]``
+fields. Any such axis can be served transpose-free by merging every
+trailing dim into one lane axis L — ``f.reshape(lead..., n, L)`` — so lines
+run along the *sublane* dimension and the batch fills the lanes. This
+kernel is the transpose of ``ops/pallas_lane.py`` (same float64 tables,
+same substructuring algebra — see that module's docstring for the measured
+design rules); here every dot operates from the left:
+
+1. ``rhs = sum_k (w_k/wfold) window_k(g)`` with ``g = roll(f,-1,axis=0)-f``
+   via cyclic *sublane* rolls                                       (VPU)
+2. ``xr_b = (w/dx T_b^{-1}) @ rhs_b`` per 128-sublane block    (MXU, K=128)
+3. closure deltas from sparse g-rows, applied as column x row
+   broadcast-FMAs restricted to the blocks where the full-line inverse
+   response is numerically nonzero                                  (VPU)
+4. interface faces (block edge rows of xr) -> correction, one
+   column-x-row FMA per nonzero interface row                       (VPU)
+5. ``out = xr + corr``                                              (VPU)
+
+Replaces the reference's host-transpose dfdy/dfdz round trips
+(/root/reference/code/ocl/compact.py:41-61: ``transpose().copy()`` on the
+host, derivative, transpose back) with a layout-native kernel: one HBM read
+of f, one HBM write of f'.
+
+float32/bfloat16 fields only (float64 callers take the PCR path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..schemes import CompactScheme
+from .pallas_lane import BLOCK_LANES, _lane_tables
+
+__all__ = ["sublane_derivative", "sublane_supported"]
+
+BLOCK = BLOCK_LANES  # substructuring block length (sublane groups here)
+_LANE = 128
+
+
+def sublane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
+    """Whether the sublane kernel can differentiate lines of length ``n``."""
+    return (
+        dtype in (jnp.float32, jnp.bfloat16)
+        and n % BLOCK == 0
+        and n // BLOCK >= 2
+    )
+
+
+def _sublane_kernel(
+    f_ref,
+    t_ref,
+    d_ref,
+    q_ref,
+    out_ref,
+    *,
+    n: int,
+    nb: int,
+    scheme: CompactScheme,
+    closure_taps,
+    closure_blocks,
+    d_nonzero,
+    wfold: float,
+    compute_dtype,
+):
+    """One (n, C) column-block; see module docstring for the step list."""
+    m = BLOCK
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=compute_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    f = f_ref[0].astype(compute_dtype)
+
+    # 1. first differences + compact RHS as windowed sums of g (sublane rolls)
+    g = pltpu.roll(f, n - 1, 0) - f
+    rhs = None
+    for k, wt in zip(scheme.rhs_offsets, scheme.rhs_weights):
+        term = None
+        for s in range(1 - k, k + 1):
+            piece = g if s == 0 else pltpu.roll(g, s % n, 0)
+            term = piece if term is None else term + piece
+        if wt != wfold:
+            term = (wt / wfold) * term
+        rhs = term if rhs is None else rhs + term
+
+    # 2. per-block dense solves (MXU, K = 128 exactly)
+    xr = [dot(t_ref[b], rhs[m * b : m * (b + 1), :]) for b in range(nb)]
+
+    # 3. closure-row deltas (sparse g-rows) x inverse responses
+    for c, taps in enumerate(closure_taps):
+        delta = None
+        for row, w in taps:
+            piece = w * g[row : row + 1, :]
+            delta = piece if delta is None else delta + piece
+        for b in closure_blocks[c]:
+            xr[b] = xr[b] + q_ref[m * b : m * (b + 1), c : c + 1] * delta
+
+    # 4. interface faces -> correction, one FMA per nonzero D row
+    corr = None
+    for k in d_nonzero:
+        b, e = divmod(k, 2)
+        row = 0 if e == 0 else m - 1
+        face = -xr[b][row : row + 1, :]  # (1, C)
+        t = d_ref[:, k : k + 1] * face  # (n, C) broadcast-FMA
+        corr = t if corr is None else corr + t
+
+    # 5. assemble
+    for b in range(nb):
+        sl = slice(m * b, m * (b + 1))
+        blk = xr[b] if corr is None else xr[b] + corr[sl, :]
+        out_ref[0, sl, :] = blk.astype(out_ref.dtype)
+
+
+def _pick_cols(n: int, itemsize: int) -> int:
+    """Column-block size: in/out double-buffered + g/rhs/xr/corr temps."""
+    budget = 12 * 1024 * 1024
+    c = 1024
+    while c > _LANE and 7 * c * n * itemsize > budget:
+        c //= 2
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("scheme", "n", "cols", "interpret"))
+def _call_sublane(f3, T, Dt, Qt, *, scheme, n, cols, interpret):
+    B, _, L = f3.shape
+    nb = n // BLOCK
+    _, _, _, closure_taps, closure_blocks, d_nonzero, wfold = _lane_tables(
+        scheme, n
+    )
+    kernel = functools.partial(
+        _sublane_kernel,
+        n=n,
+        nb=nb,
+        scheme=scheme,
+        closure_taps=closure_taps,
+        closure_blocks=closure_blocks,
+        d_nonzero=d_nonzero,
+        wfold=wfold,
+        compute_dtype=jnp.float32,
+    )
+    nc = Qt.shape[1]
+    whole = lambda *shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n, L), f3.dtype),
+        grid=(B, L // cols),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            ),
+            whole(nb, BLOCK, BLOCK),
+            whole(n, 2 * nb),
+            whole(n, nc),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        # memory-biased estimate: the K=128 dots hide behind the HBM DMA
+        # (measured on the lane kernel; same schedule shape here)
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * B * L,
+            bytes_accessed=2 * n * B * L * f3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(f3, T, Dt, Qt)
+
+
+def sublane_derivative(
+    f: jax.Array,
+    dx,
+    scheme: CompactScheme,
+    *,
+    axis: int,
+    cols: int = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compact derivative along non-minor ``axis`` of ``f``, fused.
+
+    All dims after ``axis`` merge into the lane dimension, so any axis but
+    the last is served in the field's native layout. float32/bfloat16, line
+    length a multiple of 128 with at least two blocks (``sublane_supported``).
+    """
+    if f.dtype == jnp.float64:
+        raise ValueError(
+            "the sublane Pallas path supports float32/bfloat16 only; use "
+            "method='pcr' for float64 runs"
+        )
+    axis = axis % f.ndim
+    if axis == f.ndim - 1:
+        raise ValueError("use lane_derivative for the minor axis")
+    n = f.shape[axis]
+    if not sublane_supported(scheme, n, f.dtype):
+        raise ValueError(
+            f"sublane kernel needs n % {BLOCK} == 0 and >= 2 blocks; got n={n}"
+        )
+    lead = f.shape[:axis]
+    B = int(np.prod(lead)) if lead else 1
+    L = int(np.prod(f.shape[axis + 1 :]))
+    f3 = f.reshape(B, n, L)
+    if cols is None:
+        cols = _pick_cols(n, f.dtype.itemsize)
+    cols = min(cols, max(_LANE, -(-L // _LANE) * _LANE))
+    Lp = -(-L // cols) * cols
+    if Lp != L:
+        f3 = jnp.pad(f3, ((0, 0), (0, 0), (0, Lp - L)))
+    Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, n)
+    T = np.ascontiguousarray(np.transpose(Tm, (0, 2, 1)))  # un-transposed tinv
+    if Q is None:  # periodic: keep the kernel signature static
+        Q = np.zeros((1, n), np.float32)
+    scale = jnp.asarray(wfold, jnp.float32) / jnp.asarray(dx, jnp.float32)
+    out = _call_sublane(
+        f3,
+        jnp.asarray(T) * scale,
+        jnp.asarray(D.T),
+        jnp.asarray(Q.T) * scale,
+        scheme=scheme,
+        n=n,
+        cols=cols,
+        interpret=interpret,
+    )
+    if Lp != L:
+        out = out[:, :, :L]
+    return out.reshape(f.shape)

@@ -288,6 +288,56 @@ def test_lane_kernel_batch_padding(rng):
     assert np.abs(got - expect).max() / np.abs(expect).max() < 1e-5
 
 
+@pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
+def test_sublane_kernel_interpret_vs_oracle(rng, scheme):
+    # the transpose-free sublane-axis kernel (dfdy/dfdz layouts), f32, with
+    # the same +3 mean-offset cancellation stress as the lane-kernel test
+    from cfd_tpu.ops.pallas_sublane import sublane_derivative
+
+    n = 256
+    dx = 2 * np.pi / n
+    x = np.arange(n) * dx
+    f = (
+        (np.sin(x) + 3.0)[None, :, None]
+        * (1 + 0.1 * rng.standard_normal((3, 1, 24)))
+    ).astype(np.float32)
+    got = np.asarray(
+        sublane_derivative(jnp.asarray(f), dx, scheme, axis=1, interpret=True)
+    )
+    expect = derivative_np(scheme, np.asarray(f, np.float64), dx, axis=1)
+    scale = np.abs(expect).max()
+    assert np.abs(got - expect).max() / scale < 1e-5
+
+
+def test_sublane_kernel_axis0_and_lane_padding(rng):
+    # leading-axis (dfdz-style) use plus a lane count that doesn't divide
+    # the column block, exercising the pad path
+    from cfd_tpu.ops.pallas_sublane import sublane_derivative
+
+    n = 256
+    dx = 0.01
+    f = rng.standard_normal((n, 5, 13)).astype(np.float32)
+    got = np.asarray(
+        sublane_derivative(
+            jnp.asarray(f), dx, SCHEME4, axis=0, cols=128, interpret=True
+        )
+    )
+    expect = derivative_np(SCHEME4, np.asarray(f, np.float64), dx, axis=0)
+    assert np.abs(got - expect).max() / np.abs(expect).max() < 1e-5
+
+
+def test_sublane_kernel_rejects_unsupported():
+    from cfd_tpu.ops.pallas_sublane import sublane_derivative, sublane_supported
+
+    assert not sublane_supported(SCHEME4, 100, jnp.float32)
+    assert not sublane_supported(SCHEME4, 128, jnp.float32)
+    assert not sublane_supported(SCHEME4, 256, jnp.float64)
+    with pytest.raises(ValueError):  # minor axis belongs to the lane kernel
+        sublane_derivative(jnp.zeros((4, 256), jnp.float32), 0.1, SCHEME4, axis=-1)
+    with pytest.raises(ValueError):
+        sublane_derivative(jnp.zeros((256, 4), jnp.float64), 0.1, SCHEME4, axis=0)
+
+
 def test_lane_kernel_rejects_unsupported():
     from cfd_tpu.ops.pallas_lane import lane_derivative, lane_supported
 
