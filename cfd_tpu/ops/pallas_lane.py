@@ -17,18 +17,43 @@ f, one write of f' — is 0.12-0.16 ms depending on chip load):
   and closure corrections through two more dots measured +0.2 ms even with
   all shapes 128-aligned. The corrections therefore stay on the VPU as a
   handful of rank-1 broadcast-FMAs.
-* **Keep the difference stencil out of the matmul**: folding the O(1/dx)
-  RHS stencil into the block operators loses ~3 digits to cancellation
-  (measured, error growing with n); ``f[i+k] - f[i-k]`` via cyclic lane
-  rolls is exact in f32.
-* **Every per-line scalar must be a functional of local differences.**
-  Closure deltas built from f lose a factor O(n) to f's O(1) mean
-  (measured 2e-5 at the boundary lane at n=1024); built from the first
-  differences ``g[i] = f[i+1] - f[i]`` they are n-independent ~1e-6.
+* **The cyclic lane rolls are the dominant exposed VPU cost.** Folding the
+  RHS stencil into the per-block operators (``M_b = T_b^{-1} B_b`` plus
+  rank-1 edge-lane columns) removes every roll and measured 0.168 ms vs
+  0.240 ms (100 vs 70 Gpt/s) at 256^3 — at an accuracy price (next rule),
+  so the kernel ships both forms: ``fold`` for short lines, rolls beyond.
+* **Folding the O(1/dx) stencil into the matmul costs smooth-field digits
+  that grow with n.** On smooth fields the exact stencil cancels to
+  O(dx f'), but the folded dot's rounding doesn't: measured (mean-
+  subtracted, stress field) 1.3e-6 rel at n=256 — on par with the dense
+  matmul path — then ~n/256 growth: 7e-6 at 384, 2e-5 at 512, 8e-5 at
+  2048. Rough fields don't pay it (no smoothness to cancel). Hence
+  ``_FOLD_MAX = 256``: the fold form serves the n=256 headline; longer
+  lines keep the roll form, whose ``f[i+k] - f[i-k]`` differences are
+  exact in f32 and n-independent (~1e-6).
+* **Mean subtraction is mandatory in the fold form.** Every row of B
+  annihilates constants (closures included), so ``B f = B (f - mean(f))``
+  exactly — but in f32 the O(1) mean costs 20x accuracy at n=256
+  (2.4e-5 vs 1.3e-6 measured) and the two extra VPU passes are ~2% of
+  kernel time.
+* **Every per-line scalar must be a functional of local differences**
+  (roll form). Closure deltas built from f lose a factor O(n) to f's O(1)
+  mean (measured 2e-5 at the boundary lane at n=1024); built from the
+  first differences ``g[i] = f[i+1] - f[i]`` they are n-independent ~1e-6.
 
-Per (R, n) row-block the kernel computes (tables precomputed in float64 —
-the same substructuring tables as the distributed solver,
-parallel/compact.direction_tables):
+**Fold form** (n <= ``_FOLD_MAX``), per (R, n) row-block:
+
+1. ``fc = f - mean(f)`` (lane reduction)                          (VPU)
+2. ``xr_b = fc_b @ (M_b^T / dx)`` with ``M_b = T_b^{-1} B_bb``
+   per 128-lane block                                        (MXU, K=128)
+3. ``xr_b += fc[:, j] x col_{b,j}`` for each edge lane j of the
+   neighbouring blocks that B couples in (bandwidth many per side;
+   closures live inside B so need no special handling)            (VPU)
+4. interface faces -> correction via D (as below)                 (VPU)
+
+**Roll form** (n > ``_FOLD_MAX``), per (R, n) row-block (tables
+precomputed in float64 — the same substructuring tables as the
+distributed solver, parallel/compact.direction_tables):
 
 1. ``g = roll(f,-1) - f``; ``rhs[i] = sum_k w_k (f[i+k]-f[i-k])`` as
    windowed sums of g (single-offset schemes fold w into the tables, so
@@ -67,11 +92,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..schemes import CompactScheme, lhs_bands
+from ..schemes import CompactScheme, lhs_bands, rhs_matrix
 
-__all__ = ["lane_derivative", "lane_supported", "BLOCK_LANES"]
+__all__ = ["lane_derivative", "lane_supported", "BLOCK_LANES", "FOLD_MAX"]
 
 BLOCK_LANES = 128  # substructuring block length = one lane group
+
+# longest line served by the fold form (see module docstring: its smooth-
+# field rounding grows ~n/256 from 1.3e-6, so past 256 the roll form's
+# n-independent exactness wins)
+FOLD_MAX = 256
 
 
 def lane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
@@ -193,6 +223,95 @@ def _lane_tables(scheme: CompactScheme, n: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_tables(scheme: CompactScheme, n: int):
+    """Fold-form tables (float64 math, truncated to float32 at the end).
+
+    Returns (Mt, E, edges_meta):
+      Mt — (nb, 128, 128) transposed folded block operators
+           ``(T_b^{-1} B_bb)^T`` (caller scales by 1/dx)
+      E  — (ne, n) edge-column rows: one per (block b, out-of-block lane j)
+           that B couples into b, holding ``T_b^{-1} B[b-rows, j]`` in
+           block b's lanes (caller scales by 1/dx)
+      edges_meta — per block, tuple of the source lanes j, in E row order
+    """
+    from .derivatives import _blocked_tables
+
+    nb = n // BLOCK_LANES
+    m = BLOCK_LANES
+    tinv, _, _, _ = _blocked_tables(scheme, n, nb)
+    B = rhs_matrix(scheme, n)
+    Mt = np.empty((nb, m, m))
+    e_rows = []
+    edges_meta = []
+    for b in range(nb):
+        sl = slice(m * b, m * (b + 1))
+        Mt[b] = (tinv[b] @ B[sl, sl]).T
+        outside = np.ones(n, bool)
+        outside[sl] = False
+        idx = np.nonzero(outside)[0]
+        js = tuple(int(j) for j in idx[np.any(B[sl][:, idx] != 0.0, axis=0)])
+        for j in js:
+            row = np.zeros(n)
+            row[sl] = tinv[b] @ B[sl, j]
+            e_rows.append(row)
+        edges_meta.append(js)
+    E = np.stack(e_rows) if e_rows else np.zeros((1, n))
+    return (
+        np.asarray(Mt, np.float32),
+        np.asarray(E, np.float32),
+        tuple(edges_meta),
+    )
+
+
+def _lane_fold_kernel(
+    f_ref,
+    t_ref,
+    d_ref,
+    e_ref,
+    out_ref,
+    *,
+    n: int,
+    nb: int,
+    edges_meta,
+    d_nonzero,
+    compute_dtype,
+):
+    """One (R, n) row-block, fold form; see module docstring."""
+    m = BLOCK_LANES
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=compute_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    f = f_ref[:].astype(compute_dtype)
+    # B annihilates constants; subtracting the mean spends the f32 mantissa
+    # on the fluctuation instead (20x accuracy, ~2% time — module docstring)
+    fc = f - jnp.mean(f, axis=1, keepdims=True)
+
+    xr = []
+    ei = 0
+    for b in range(nb):
+        x = dot(fc[:, m * b : m * (b + 1)], t_ref[b])
+        for j in edges_meta[b]:
+            x = x + fc[:, j : j + 1] * e_ref[ei : ei + 1, m * b : m * (b + 1)]
+            ei += 1
+        xr.append(x)
+
+    corr = None
+    for k in d_nonzero:
+        b, e = divmod(k, 2)
+        lane = 0 if e == 0 else m - 1
+        face = -xr[b][:, lane : lane + 1]  # (R, 1)
+        t = face * d_ref[k : k + 1, :]  # (R, n) broadcast-FMA
+        corr = t if corr is None else corr + t
+
+    for b in range(nb):
+        sl = slice(m * b, m * (b + 1))
+        blk = xr[b] if corr is None else xr[b] + corr[:, sl]
+        out_ref[:, sl] = blk.astype(out_ref.dtype)
+
+
 def _lane_kernel(
     f_ref,
     t_ref,
@@ -268,6 +387,50 @@ def _pick_rows(n: int, itemsize: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scheme", "n", "rows", "interpret"))
+def _call_lane_fold(f2, Mt, D, E, *, scheme, n, rows, interpret):
+    B = f2.shape[0]
+    nb = n // BLOCK_LANES
+    _, _, edges_meta = _fold_tables(scheme, n)
+    _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, n)
+    kernel = functools.partial(
+        _lane_fold_kernel,
+        n=n,
+        nb=nb,
+        edges_meta=edges_meta,
+        d_nonzero=d_nonzero,
+        compute_dtype=jnp.float32,
+    )
+    whole = lambda *shape: pl.BlockSpec(
+        shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n), f2.dtype),
+        grid=(B // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            whole(nb, BLOCK_LANES, BLOCK_LANES),
+            whole(D.shape[0], n),
+            whole(E.shape[0], n),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, n), lambda j: (j, 0), memory_space=pltpu.VMEM
+        ),
+        # same memory-biased estimate as the roll form: the K=128 dots
+        # hide behind the HBM DMA
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * B,
+            bytes_accessed=2 * n * B * f2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(f2, Mt, D, E)
+
+
+@functools.partial(jax.jit, static_argnames=("scheme", "n", "rows", "interpret"))
 def _call_lane(f2, Tm, D, Q, *, scheme, n, rows, interpret):
     B = f2.shape[0]
     nb = n // BLOCK_LANES
@@ -324,11 +487,15 @@ def lane_derivative(
     *,
     rows: int = None,
     interpret: bool = False,
+    fold: bool = None,
 ) -> jax.Array:
     """Compact derivative along the last axis of ``f`` (..., n), fused.
 
     float32/bfloat16, n a multiple of 128 with at least two blocks
     (``lane_supported``); callers fall back to the other backends otherwise.
+    ``fold`` picks the roll-free folded-operator form (default: lines up to
+    ``FOLD_MAX`` — 1.4x faster, smooth-field rounding grows with n; see the
+    module docstring).
     """
     if f.dtype == jnp.float64:
         raise ValueError(
@@ -341,6 +508,8 @@ def lane_derivative(
             f"lane kernel needs n % {BLOCK_LANES} == 0 and >= 2 blocks; "
             f"got n={n}"
         )
+    if fold is None:
+        fold = n <= FOLD_MAX
     bshape = f.shape[:-1]
     B = int(np.prod(bshape)) if bshape else 1
     f2 = f.reshape(B, n)
@@ -350,20 +519,35 @@ def lane_derivative(
     Bp = -(-B // rows) * rows
     if Bp != B:
         f2 = jnp.pad(f2, ((0, Bp - B), (0, 0)))
-    Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, n)
-    if Q is None:  # periodic: keep the kernel signature static
-        Q = np.zeros((1, n), np.float32)
-    scale = jnp.asarray(wfold, jnp.float32) / jnp.asarray(dx, jnp.float32)
-    out = _call_lane(
-        f2,
-        jnp.asarray(Tm) * scale,
-        jnp.asarray(D),
-        jnp.asarray(Q) * scale,
-        scheme=scheme,
-        n=n,
-        rows=rows,
-        interpret=interpret,
-    )
+    if fold:
+        Mt, E, _ = _fold_tables(scheme, n)
+        _, D, _, _, _, _, _ = _lane_tables(scheme, n)
+        inv_dx = jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        out = _call_lane_fold(
+            f2,
+            jnp.asarray(Mt) * inv_dx,
+            jnp.asarray(D),
+            jnp.asarray(E) * inv_dx,
+            scheme=scheme,
+            n=n,
+            rows=rows,
+            interpret=interpret,
+        )
+    else:
+        Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, n)
+        if Q is None:  # periodic: keep the kernel signature static
+            Q = np.zeros((1, n), np.float32)
+        scale = jnp.asarray(wfold, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        out = _call_lane(
+            f2,
+            jnp.asarray(Tm) * scale,
+            jnp.asarray(D),
+            jnp.asarray(Q) * scale,
+            scheme=scheme,
+            n=n,
+            rows=rows,
+            interpret=interpret,
+        )
     if Bp != B:
         out = out[:B]
     return out.reshape(f.shape)

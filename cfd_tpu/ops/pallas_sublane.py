@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..schemes import CompactScheme
-from .pallas_lane import BLOCK_LANES, _lane_tables
+from .pallas_lane import BLOCK_LANES, FOLD_MAX, _fold_tables, _lane_tables
 
 __all__ = ["sublane_derivative", "sublane_supported"]
 
@@ -120,6 +120,96 @@ def _sublane_kernel(
         out_ref[0, sl, :] = blk.astype(out_ref.dtype)
 
 
+def _sublane_fold_kernel(
+    f_ref,
+    t_ref,
+    d_ref,
+    e_ref,
+    out_ref,
+    *,
+    n: int,
+    nb: int,
+    edges_meta,
+    d_nonzero,
+    compute_dtype,
+):
+    """One (n, C) column-block, fold form (see ops/pallas_lane.py)."""
+    m = BLOCK
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=compute_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    f = f_ref[0].astype(compute_dtype)
+    fc = f - jnp.mean(f, axis=0, keepdims=True)
+
+    xr = []
+    ei = 0
+    for b in range(nb):
+        x = dot(t_ref[b], fc[m * b : m * (b + 1), :])
+        for j in edges_meta[b]:
+            x = x + e_ref[m * b : m * (b + 1), ei : ei + 1] * fc[j : j + 1, :]
+            ei += 1
+        xr.append(x)
+
+    corr = None
+    for k in d_nonzero:
+        b, e = divmod(k, 2)
+        row = 0 if e == 0 else m - 1
+        face = -xr[b][row : row + 1, :]
+        t = d_ref[:, k : k + 1] * face
+        corr = t if corr is None else corr + t
+
+    for b in range(nb):
+        sl = slice(m * b, m * (b + 1))
+        blk = xr[b] if corr is None else xr[b] + corr[sl, :]
+        out_ref[0, sl, :] = blk.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scheme", "n", "cols", "interpret"))
+def _call_sublane_fold(f3, M, Dt, Et, *, scheme, n, cols, interpret):
+    B, _, L = f3.shape
+    nb = n // BLOCK
+    _, _, edges_meta = _fold_tables(scheme, n)
+    _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, n)
+    kernel = functools.partial(
+        _sublane_fold_kernel,
+        n=n,
+        nb=nb,
+        edges_meta=edges_meta,
+        d_nonzero=d_nonzero,
+        compute_dtype=jnp.float32,
+    )
+    whole = lambda *shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n, L), f3.dtype),
+        grid=(B, L // cols),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            ),
+            whole(nb, BLOCK, BLOCK),
+            whole(n, Dt.shape[1]),
+            whole(n, Et.shape[1]),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * B * L,
+            bytes_accessed=2 * n * B * L * f3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(f3, M, Dt, Et)
+
+
 def _pick_cols(n: int, itemsize: int) -> int:
     """Column-block size: in/out double-buffered + g/rhs/xr/corr temps."""
     budget = 12 * 1024 * 1024
@@ -188,12 +278,15 @@ def sublane_derivative(
     axis: int,
     cols: int = None,
     interpret: bool = False,
+    fold: bool = None,
 ) -> jax.Array:
     """Compact derivative along non-minor ``axis`` of ``f``, fused.
 
     All dims after ``axis`` merge into the lane dimension, so any axis but
     the last is served in the field's native layout. float32/bfloat16, line
     length a multiple of 128 with at least two blocks (``sublane_supported``).
+    ``fold`` picks the roll-free folded-operator form (default: lines up to
+    ``FOLD_MAX``; same accuracy trade as the lane kernel).
     """
     if f.dtype == jnp.float64:
         raise ValueError(
@@ -208,6 +301,8 @@ def sublane_derivative(
         raise ValueError(
             f"sublane kernel needs n % {BLOCK} == 0 and >= 2 blocks; got n={n}"
         )
+    if fold is None:
+        fold = n <= FOLD_MAX
     lead = f.shape[:axis]
     B = int(np.prod(lead)) if lead else 1
     L = int(np.prod(f.shape[axis + 1 :]))
@@ -218,21 +313,37 @@ def sublane_derivative(
     Lp = -(-L // cols) * cols
     if Lp != L:
         f3 = jnp.pad(f3, ((0, 0), (0, 0), (0, Lp - L)))
-    Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, n)
-    T = np.ascontiguousarray(np.transpose(Tm, (0, 2, 1)))  # un-transposed tinv
-    if Q is None:  # periodic: keep the kernel signature static
-        Q = np.zeros((1, n), np.float32)
-    scale = jnp.asarray(wfold, jnp.float32) / jnp.asarray(dx, jnp.float32)
-    out = _call_sublane(
-        f3,
-        jnp.asarray(T) * scale,
-        jnp.asarray(D.T),
-        jnp.asarray(Q.T) * scale,
-        scheme=scheme,
-        n=n,
-        cols=cols,
-        interpret=interpret,
-    )
+    if fold:
+        Mt, E, _ = _fold_tables(scheme, n)
+        M = np.ascontiguousarray(np.transpose(Mt, (0, 2, 1)))  # left-dot form
+        _, D, _, _, _, _, _ = _lane_tables(scheme, n)
+        inv_dx = jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        out = _call_sublane_fold(
+            f3,
+            jnp.asarray(M) * inv_dx,
+            jnp.asarray(D.T),
+            jnp.asarray(E.T) * inv_dx,
+            scheme=scheme,
+            n=n,
+            cols=cols,
+            interpret=interpret,
+        )
+    else:
+        Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, n)
+        T = np.ascontiguousarray(np.transpose(Tm, (0, 2, 1)))  # un-transposed
+        if Q is None:  # periodic: keep the kernel signature static
+            Q = np.zeros((1, n), np.float32)
+        scale = jnp.asarray(wfold, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        out = _call_sublane(
+            f3,
+            jnp.asarray(T) * scale,
+            jnp.asarray(D.T),
+            jnp.asarray(Q.T) * scale,
+            scheme=scheme,
+            n=n,
+            cols=cols,
+            interpret=interpret,
+        )
     if Lp != L:
         out = out[:, :, :L]
     return out.reshape(f.shape)

@@ -94,13 +94,16 @@ def chain_time(
 
     slope = (best_of(big) - best_of(small)) / (k_big - k_small)
 
-    # Adaptive rescale: if the measured chain delta is small relative to the
-    # dispatch noise floor (~ms on tunnelled runtimes), lengthen the chain so
-    # the per-step signal is ~15 ms total and re-measure once.
-    NOISE_S = 3e-3
+    # Adaptive rescale: the tunnel's dispatch round trip jitters by several
+    # ms run-to-run, so a chain delta of only a few ms measures noise.
+    # Lengthen the chain until the per-step signal is ~60 ms total and
+    # re-measure once (observed: a 0.17 ms kernel on a 16 ms chain delta
+    # read anywhere from 0.06 to 0.26 ms/step; on a 60+ ms delta it is
+    # stable to a few percent).
+    NOISE_S = 25e-3
     if slope * (k_big - k_small) < NOISE_S:
         per_step = max(slope, 1e-7)
-        k_big2 = min(int(15e-3 / per_step), 20000)
+        k_big2 = min(int(60e-3 / per_step), 20000)
         if k_big2 > 2 * k_big:
             big2 = _build_chain(step, k_big2)
             sync_run(big2, variants[-1])

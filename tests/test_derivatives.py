@@ -252,11 +252,16 @@ def test_jvp_matches_linearity(rng):
 
 
 @pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
-@pytest.mark.parametrize("n", [256, 384])
-def test_lane_kernel_interpret_vs_oracle(rng, scheme, n):
+@pytest.mark.parametrize(
+    "n,fold",
+    [(256, True), (256, False), (384, False), (512, True)],
+    ids=["n256-fold", "n256-roll", "n384-roll", "n512-fold"],
+)
+def test_lane_kernel_interpret_vs_oracle(rng, scheme, n, fold):
     # the transpose-free lane-axis kernel (interpreter mode on CPU), f32,
     # with a +3 mean offset — the cancellation stress that exposed the
-    # f-space functional bug (see ops/pallas_lane.py docstring)
+    # f-space functional bug; both the fold and the roll forms
+    # (see ops/pallas_lane.py docstring)
     from cfd_tpu.ops.pallas_lane import lane_derivative
 
     dx = 2 * np.pi / n
@@ -267,11 +272,26 @@ def test_lane_kernel_interpret_vs_oracle(rng, scheme, n):
         (np.sin(x) + 3.0)[None, :] * (1 + 0.1 * rng.standard_normal((16, 1)))
     ).astype(np.float32)
     got = np.asarray(
-        lane_derivative(jnp.asarray(f), dx, scheme, interpret=True)
+        lane_derivative(jnp.asarray(f), dx, scheme, interpret=True, fold=fold)
     )
     expect = derivative_np(scheme, np.asarray(f, np.float64), dx, axis=-1)
     scale = np.abs(expect).max()
-    assert np.abs(got - expect).max() / scale < 1e-5
+    # fold rounding grows with n on smooth fields (docstring): 1e-5 covers
+    # the supported-by-default n<=FOLD_MAX range; 512 is explicit opt-in
+    tol = 4e-5 if (fold and n > 256) else 1e-5
+    assert np.abs(got - expect).max() / scale < tol
+
+
+def test_lane_kernel_fold_default_matches_forms(rng):
+    # the default picks fold at n<=FOLD_MAX and rolls beyond
+    from cfd_tpu.ops.pallas_lane import FOLD_MAX, lane_derivative
+
+    assert FOLD_MAX == 256
+    n = 256
+    f = jnp.asarray(rng.standard_normal((8, n)).astype(np.float32))
+    d_auto = lane_derivative(f, 0.01, SCHEME4, interpret=True)
+    d_fold = lane_derivative(f, 0.01, SCHEME4, interpret=True, fold=True)
+    np.testing.assert_array_equal(np.asarray(d_auto), np.asarray(d_fold))
 
 
 def test_lane_kernel_batch_padding(rng):
@@ -288,10 +308,12 @@ def test_lane_kernel_batch_padding(rng):
     assert np.abs(got - expect).max() / np.abs(expect).max() < 1e-5
 
 
+@pytest.mark.parametrize("fold", [True, False], ids=["fold", "roll"])
 @pytest.mark.parametrize("scheme", ALL_SCHEMES, ids=IDS)
-def test_sublane_kernel_interpret_vs_oracle(rng, scheme):
+def test_sublane_kernel_interpret_vs_oracle(rng, scheme, fold):
     # the transpose-free sublane-axis kernel (dfdy/dfdz layouts), f32, with
-    # the same +3 mean-offset cancellation stress as the lane-kernel test
+    # the same +3 mean-offset cancellation stress as the lane-kernel test,
+    # in both the fold and roll forms
     from cfd_tpu.ops.pallas_sublane import sublane_derivative
 
     n = 256
@@ -302,7 +324,9 @@ def test_sublane_kernel_interpret_vs_oracle(rng, scheme):
         * (1 + 0.1 * rng.standard_normal((3, 1, 24)))
     ).astype(np.float32)
     got = np.asarray(
-        sublane_derivative(jnp.asarray(f), dx, scheme, axis=1, interpret=True)
+        sublane_derivative(
+            jnp.asarray(f), dx, scheme, axis=1, interpret=True, fold=fold
+        )
     )
     expect = derivative_np(scheme, np.asarray(f, np.float64), dx, axis=1)
     scale = np.abs(expect).max()
