@@ -33,7 +33,9 @@ from cfd_tpu.config import Config
 from cfd_tpu.models import benchmark_field
 from cfd_tpu.utils.timing import chain_time
 
-ROOFLINE_PTS_PER_S = 0.82e12 / 8  # one f32 read + write at duplex HBM speed
+# reads and writes overlap (duplex: a pure copy of 134 MB measures
+# 0.12-0.158 ms), so the f32 ceiling is ~2x0.82 TB/s aggregate
+ROOFLINE_PTS_PER_S = 2 * 0.82e12 / 8
 
 
 def main():

@@ -44,9 +44,10 @@ from cfd_tpu.ops.pallas_fused import solve_lines_pallas
 from cfd_tpu.schemes import SCHEME4, lhs_bands
 from cfd_tpu.utils.timing import chain_time
 
-# one f32 read + one f32 write at duplex HBM speed (~0.82 TB/s each way on
-# v5e) bounds any derivative/solve at ~205 Gpt/s
-ROOFLINE_PTS_PER_S = 0.82e12 / 8
+# one f32 read + one f32 write; reads and writes overlap (duplex: a pure
+# copy of 134 MB measures 0.12-0.158 ms), so the ceiling is ~2x0.82 TB/s
+# aggregate ~= 205 Gpt/s
+ROOFLINE_PTS_PER_S = 2 * 0.82e12 / 8
 NOISE_FLOOR_MS = 0.02  # chain deltas below this are dispatch noise
 
 

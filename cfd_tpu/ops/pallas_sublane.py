@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..schemes import CompactScheme
-from .pallas_lane import BLOCK_LANES, FOLD_MAX, _fold_tables, _lane_tables
+from .pallas_lane import BLOCK_LANES, _fold_tables, _lane_tables
 
 __all__ = ["sublane_derivative", "sublane_supported"]
 
@@ -285,8 +285,10 @@ def sublane_derivative(
     All dims after ``axis`` merge into the lane dimension, so any axis but
     the last is served in the field's native layout. float32/bfloat16, line
     length a multiple of 128 with at least two blocks (``sublane_supported``).
-    ``fold`` picks the roll-free folded-operator form (default: lines up to
-    ``FOLD_MAX``; same accuracy trade as the lane kernel).
+    ``fold`` picks the roll-free folded-operator form. Unlike the lane
+    kernel it is OFF by default: sublane rolls are cheap shuffles (lane
+    rolls are expensive rotates), and the roll form measured equal-or-
+    faster (0.231 vs 0.258 ms at 256^3 dfdy) with n-independent accuracy.
     """
     if f.dtype == jnp.float64:
         raise ValueError(
@@ -302,7 +304,7 @@ def sublane_derivative(
             f"sublane kernel needs n % {BLOCK} == 0 and >= 2 blocks; got n={n}"
         )
     if fold is None:
-        fold = n <= FOLD_MAX
+        fold = False
     lead = f.shape[:axis]
     B = int(np.prod(lead)) if lead else 1
     L = int(np.prod(f.shape[axis + 1 :]))
