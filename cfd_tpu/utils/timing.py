@@ -96,18 +96,28 @@ def chain_time(
 
     # Adaptive rescale: the tunnel's dispatch round trip jitters by several
     # ms run-to-run, so a chain delta of only a few ms measures noise.
-    # Lengthen the chain until the per-step signal is ~60 ms total and
-    # re-measure once (observed: a 0.17 ms kernel on a 16 ms chain delta
-    # read anywhere from 0.06 to 0.26 ms/step; on a 60+ ms delta it is
-    # stable to a few percent).
+    # Lengthen the chain until the per-step signal is ~60 ms total
+    # (observed: a 0.17 ms kernel on a 16 ms chain delta read anywhere from
+    # 0.06 to 0.26 ms/step; on a 60+ ms delta it is stable to a few
+    # percent). Iterate: a single rescale from a noisy first estimate can
+    # land on a chain that is still inside the noise floor — or even on a
+    # negative delta — so keep growing the chain until the delta clears the
+    # floor or the cap is hit.
     NOISE_S = 25e-3
-    if slope * (k_big - k_small) < NOISE_S:
-        per_step = max(slope, 1e-7)
-        k_big2 = min(int(60e-3 / per_step), 20000)
-        if k_big2 > 2 * k_big:
-            big2 = _build_chain(step, k_big2)
-            sync_run(big2, variants[-1])
-            slope = (best_of(big2) - best_of(small)) / (k_big2 - k_small)
+    TARGET_S = 60e-3
+    K_CAP = 20000
+    k_cur = k_big
+    for _ in range(4):
+        if slope * (k_cur - k_small) >= NOISE_S or k_cur >= K_CAP:
+            break
+        if slope > 0:
+            k_new = min(max(int(TARGET_S / slope), 2 * k_cur), K_CAP)
+        else:
+            k_new = min(8 * k_cur, K_CAP)
+        big2 = _build_chain(step, k_new)
+        sync_run(big2, variants[-1])
+        slope = (best_of(big2) - best_of(small)) / (k_new - k_small)
+        k_cur = k_new
     return max(slope, 1e-12)
 
 
