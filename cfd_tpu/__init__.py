@@ -2,7 +2,8 @@
 
 Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
 CUDA/OpenCL + MPI library ``ashwinsrnth/compact-finite-differences``:
-4th/6th-order compact (Padé) first derivatives of 3-D scalar fields, batched
+4th/6th-order compact (Padé) first and second derivatives of 3-D scalar
+fields (second derivatives are beyond the reference's surface), batched
 near-Toeplitz tridiagonal solves with precomputed coefficient tables, pencil
 domain decomposition over a ``jax.sharding.Mesh`` with ``ppermute`` halo
 exchange, and a distributed reduced-interface (substructuring) tridiagonal
@@ -16,17 +17,25 @@ from . import models, oracle, ops, parallel, schemes, utils
 from .parallel import DistributedCompactSolver, Grid, make_mesh
 from .ops import (
     curl,
+    d2fdx2,
+    d2fdy2,
+    d2fdz2,
     derivative,
     dfdx,
     dfdy,
     dfdz,
     divergence,
     gradient,
+    laplacian,
 )
 from .schemes import (
     SCHEME4,
+    SCHEME4_D2,
+    SCHEME4_D2_PERIODIC,
     SCHEME4_PERIODIC,
     SCHEME6,
+    SCHEME6_D2,
+    SCHEME6_D2_PERIODIC,
     SCHEME6_PERIODIC,
     CompactScheme,
     get_scheme,
@@ -44,16 +53,24 @@ __all__ = [
     "Grid",
     "make_mesh",
     "curl",
+    "d2fdx2",
+    "d2fdy2",
+    "d2fdz2",
     "derivative",
     "dfdx",
     "dfdy",
     "dfdz",
     "divergence",
     "gradient",
+    "laplacian",
     "CompactScheme",
     "get_scheme",
     "SCHEME4",
     "SCHEME4_PERIODIC",
     "SCHEME6",
     "SCHEME6_PERIODIC",
+    "SCHEME4_D2",
+    "SCHEME4_D2_PERIODIC",
+    "SCHEME6_D2",
+    "SCHEME6_D2_PERIODIC",
 ]

@@ -3,12 +3,16 @@
 from . import rhs, tridiag
 from .derivatives import (
     curl,
+    d2fdx2,
+    d2fdy2,
+    d2fdz2,
     derivative,
     dfdx,
     dfdy,
     dfdz,
     divergence,
     gradient,
+    laplacian,
     line_factors,
 )
 from .rhs import closure_ghosts, compact_rhs
@@ -28,12 +32,16 @@ __all__ = [
     "tridiag",
     "rhs",
     "curl",
+    "d2fdx2",
+    "d2fdy2",
+    "d2fdz2",
     "derivative",
     "dfdx",
     "dfdy",
     "dfdz",
     "divergence",
     "gradient",
+    "laplacian",
     "line_factors",
     "closure_ghosts",
     "compact_rhs",

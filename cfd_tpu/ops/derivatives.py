@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..schemes import SCHEME4, CompactScheme, lhs_bands
+from ..schemes import SCHEME4, SCHEME4_D2, CompactScheme, lhs_bands
 from . import tridiag
 from .rhs import compact_rhs
 
@@ -30,9 +30,13 @@ __all__ = [
     "dfdx",
     "dfdy",
     "dfdz",
+    "d2fdx2",
+    "d2fdy2",
+    "d2fdz2",
     "gradient",
     "divergence",
     "curl",
+    "laplacian",
 ]
 
 _METHODS = ("auto", "pcr", "thomas", "pallas", "matmul", "stencil")
@@ -44,6 +48,7 @@ def resolve_method(
     n: int,
     minor_axis: bool = False,
     second_minor: bool = False,
+    derivative_order: int = 1,
 ) -> str:
     """Resolve 'auto' to the fastest backend for this dtype/backend/size.
 
@@ -61,6 +66,11 @@ def resolve_method(
         return method
     if dtype == jnp.float64 or jax.default_backend() == "cpu":
         return "pcr"
+    if derivative_order != 1:
+        # the lane/sublane kernels are first-derivative only (their in-kernel
+        # RHS folds assume the antisymmetric stencil); the dense operator and
+        # its blocked substructured form are scheme-table generic
+        return "matmul"
     if dtype == jnp.float32:
         # f32 only: bf16 fields are fastest through the single-pass MXU
         # matmul (325 vs 91 Gpt/s measured at 256^3 — the fused kernels'
@@ -129,7 +139,8 @@ def _blocked_matmul_derivative(f, dx, scheme, axis, precision):
     if nb == 1:
         M = jnp.asarray(dense_operator(scheme, n), f.dtype)
         out = jnp.tensordot(f, M, axes=([axis], [1]), precision=precision)
-        return jnp.moveaxis(out, -1, axis) / jnp.asarray(dx, f.dtype)
+        dxp = jnp.asarray(dx, f.dtype) ** scheme.derivative_order
+        return jnp.moveaxis(out, -1, axis) / dxp
     m = n // nb
     dtype = f.dtype
     tinv, uh, lh, rinv = _blocked_tables(scheme, n, nb)
@@ -256,12 +267,14 @@ def _stencil_derivative(f, dx, scheme, axis, tol=1e-8):
         raise ValueError(f"line length {n} too short for stencil method")
     dtype = f.dtype
 
+    dxp = jnp.asarray(dx, dtype) ** scheme.derivative_order
+
     if scheme.periodic:
         out = jnp.zeros_like(f)
         for k, ck in enumerate(c):
             if ck != 0.0:
                 out = out + jnp.asarray(ck, dtype) * jnp.roll(f, bw - k, axis=axis)
-        return out / jnp.asarray(dx, dtype)
+        return out / dxp
 
     out = jnp.zeros_like(f)
     for k, ck in enumerate(c):
@@ -296,7 +309,7 @@ def _stencil_derivative(f, dx, scheme, axis, tol=1e-8):
     bot = jnp.moveaxis(bot, 0, axis)
     mid = lax.slice_in_dim(out, m, n - m, axis=axis)
     out = jnp.concatenate([top, mid, bot], axis=axis)
-    return out / jnp.asarray(dx, dtype)
+    return out / dxp
 
 
 @functools.lru_cache(maxsize=None)
@@ -347,7 +360,10 @@ def derivative(
     method: str = "auto",
     matmul_precision: str = "highest",
 ) -> jax.Array:
-    """Compact first derivative of ``f`` along ``axis`` with spacing ``dx``.
+    """Compact derivative of ``f`` along ``axis`` with spacing ``dx``.
+
+    The scheme's ``derivative_order`` selects first (default schemes) or
+    second derivative (``get_scheme(..., derivative=2)`` / SCHEME*_D2).
 
     ``method`` selects the backend: 'auto' (default; picks per dtype/backend/
     axis/size, see ``resolve_method``), 'matmul' (dense operator on the MXU),
@@ -366,6 +382,7 @@ def derivative(
         f.shape[axis],
         minor_axis=minor,
         second_minor=axis == f.ndim - 2,
+        derivative_order=scheme.derivative_order,
     )
     if method == "pallas" and minor:
         from .pallas_lane import lane_derivative, lane_supported
@@ -394,7 +411,7 @@ def derivative(
         out = jnp.tensordot(f, M, axes=([axis], [1]), precision=prec)
         # tensordot appends M's free dim at the end; restore the axis position
         out = jnp.moveaxis(out, -1, axis)
-        return out / jnp.asarray(dx, f.dtype)
+        return out / jnp.asarray(dx, f.dtype) ** scheme.derivative_order
     if method == "stencil":
         return _stencil_derivative(f, dx, scheme, axis)
     if method == "pcr":
@@ -420,6 +437,34 @@ def dfdy(f, dy, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
 
 def dfdz(f, dz, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
     """d/dz — derivative along the third-to-last axis."""
+    return derivative(f, dz, scheme, axis=-3, method=method, **kw)
+
+
+def _d2_scheme(scheme: CompactScheme) -> CompactScheme:
+    if scheme.derivative_order != 2:
+        raise ValueError(
+            f"scheme {scheme.name!r} is a derivative_order="
+            f"{scheme.derivative_order} scheme; second-derivative ops need a "
+            "derivative_order=2 scheme (e.g. get_scheme(4, derivative=2))"
+        )
+    return scheme
+
+
+def d2fdx2(f, dx, scheme: CompactScheme = None, *, method: str = "auto", **kw):
+    """d²/dx² — compact second derivative along the last axis."""
+    scheme = _d2_scheme(scheme if scheme is not None else SCHEME4_D2)
+    return derivative(f, dx, scheme, axis=-1, method=method, **kw)
+
+
+def d2fdy2(f, dy, scheme: CompactScheme = None, *, method: str = "auto", **kw):
+    """d²/dy² — compact second derivative along the second-to-last axis."""
+    scheme = _d2_scheme(scheme if scheme is not None else SCHEME4_D2)
+    return derivative(f, dy, scheme, axis=-2, method=method, **kw)
+
+
+def d2fdz2(f, dz, scheme: CompactScheme = None, *, method: str = "auto", **kw):
+    """d²/dz² — compact second derivative along the third-to-last axis."""
+    scheme = _d2_scheme(scheme if scheme is not None else SCHEME4_D2)
     return derivative(f, dz, scheme, axis=-3, method=method, **kw)
 
 
@@ -485,3 +530,26 @@ def curl(
     duy_dx = dfdx(uy, dx, scheme, method=method)
     dux_dy = dfdy(ux, dy, scheme, method=method)
     return (duz_dy - duy_dz, dux_dz - duz_dx, duy_dx - dux_dy)
+
+
+def laplacian(
+    f: jax.Array,
+    spacing,
+    scheme: CompactScheme = None,
+    *,
+    method: str = "auto",
+) -> jax.Array:
+    """Laplacian of a scalar field via compact *second*-derivative schemes.
+
+    One tridiagonal solve per direction — half the derivative evaluations
+    (and better high-wavenumber resolution) than the repeated-first-
+    derivative form div(grad(f)). ``scheme`` must be a derivative_order=2
+    scheme; defaults to the 4th-order Padé d² (``SCHEME4_D2``).
+    """
+    scheme = _d2_scheme(scheme if scheme is not None else SCHEME4_D2)
+    dz, dy, dx = _spacings3(spacing)
+    return (
+        d2fdx2(f, dx, scheme, method=method)
+        + d2fdy2(f, dy, scheme, method=method)
+        + d2fdz2(f, dz, scheme, method=method)
+    )

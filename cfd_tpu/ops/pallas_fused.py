@@ -65,8 +65,14 @@ def _auto_sublanes(n: int, itemsize: int = 4) -> int:
     return s
 
 
-def _stencil(scheme: CompactScheme) -> Tuple[Tuple[int, float], ...]:
-    return tuple(zip(scheme.rhs_offsets, scheme.rhs_weights))
+def _stencil(scheme: CompactScheme):
+    """Static RHS description: (taps, sign of f[i-k], centre weight, order)."""
+    return (
+        tuple(zip(scheme.rhs_offsets, scheme.rhs_weights)),
+        scheme.rhs_sign,
+        scheme.rhs_center,
+        scheme.derivative_order,
+    )
 
 
 def _fused_kernel(
@@ -92,7 +98,10 @@ def _fused_kernel(
     w/invd/du/q_ref: (n,) SMEM scalar tables
     out_ref:      (n, S, 128)
     """
+    taps, sgn, c0, dord = stencil
     inv_dx = inv_dx_ref[0]
+    for _ in range(dord - 1):  # reciprocal spacing -> 1/dx**order (static)
+        inv_dx = inv_dx * inv_dx_ref[0]
 
     def row(i):
         """f at line-index i, i in [-halo, n+halo), from the right buffer."""
@@ -102,20 +111,29 @@ def _fused_kernel(
             return gr_ref[pl.ds(i - n, 1)]
         return f_ref[pl.ds(i, 1)]
 
+    def pair(a, b):
+        # keep the factored w*(a -/+ b) form: for first derivatives the
+        # difference cancels exactly in f32 before the weight multiply
+        return (a - b) if sgn < 0 else (a + b)
+
     def rhs_static(i):
         """RHS at static row i (edge rows, unrolled)."""
         r = None
-        for k, wt in stencil:
-            term = wt * (row(i + k) - row(i - k))
+        for k, wt in taps:
+            term = wt * pair(row(i + k), row(i - k))
             r = term if r is None else r + term
+        if c0:
+            r = r + c0 * row(i)
         return r * inv_dx
 
     def rhs_dyn(i):
         """RHS at traced row i, valid only for halo <= i < n - halo."""
         r = None
-        for k, wt in stencil:
-            term = wt * (f_ref[pl.ds(i + k, 1)] - f_ref[pl.ds(i - k, 1)])
+        for k, wt in taps:
+            term = wt * pair(f_ref[pl.ds(i + k, 1)], f_ref[pl.ds(i - k, 1)])
             r = term if r is None else r + term
+        if c0:
+            r = r + c0 * f_ref[pl.ds(i, 1)]
         return r * inv_dx
 
     # ---- forward sweep: y[i] = rhs[i] - w[i] * y[i-1] ---------------------

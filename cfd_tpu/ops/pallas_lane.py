@@ -110,6 +110,9 @@ def lane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK_LANES == 0
         and n // BLOCK_LANES >= 2
+        # first-derivative only: the in-kernel RHS forms (g-differences,
+        # closure deltas, stencil fold) assume the antisymmetric stencil
+        and (scheme is None or scheme.derivative_order == 1)
     )
 
 

@@ -52,6 +52,8 @@ def sublane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK == 0
         and n // BLOCK >= 2
+        # first-derivative only (see lane_supported)
+        and (scheme is None or scheme.derivative_order == 1)
     )
 
 

@@ -29,26 +29,32 @@ def stencil_rhs(f_ext: jnp.ndarray, inv_dx, scheme: CompactScheme) -> jnp.ndarra
     w = scheme.stencil_width
     n = f_ext.shape[0] - 2 * w
     dtype = f_ext.dtype
+    s = jnp.asarray(scheme.rhs_sign, dtype)
     r = jnp.zeros_like(f_ext, shape=(n,) + f_ext.shape[1:])
     for k, wk in zip(scheme.rhs_offsets, scheme.rhs_weights):
         r = r + jnp.asarray(wk, dtype) * (
-            f_ext[w + k : w + k + n] - f_ext[w - k : w - k + n]
+            f_ext[w + k : w + k + n] + s * f_ext[w - k : w - k + n]
         )
-    return r * jnp.asarray(inv_dx, dtype)
+    if scheme.rhs_center:
+        r = r + jnp.asarray(scheme.rhs_center, dtype) * f_ext[w : w + n]
+    return r * jnp.asarray(inv_dx, dtype) ** scheme.derivative_order
 
 
 def compact_rhs(f: jnp.ndarray, dx, scheme: CompactScheme, axis: int = 0):
     """RHS of the compact system for ``f`` along ``axis``.
 
-    Returns sum_k w_k (f[i+k] - f[i-k]) / dx with closure rows installed at
-    both ends for non-periodic schemes. Axis-aware so pencil-major fields
-    never need a transpose.
+    Returns sum_k w_k (f[i+k] - f[i-k]) / dx (first derivatives) or
+    sum_k w_k (f[i+k] - 2 f[i] + f[i-k]) / dx**2 (second derivatives) with
+    closure rows installed at both ends for non-periodic schemes. Axis-aware
+    so pencil-major fields never need a transpose.
     """
     import jax.lax as lax
 
     dtype = f.dtype
     axis = axis % f.ndim
     n = f.shape[axis]
+    sgn = jnp.asarray(scheme.rhs_sign, dtype)
+    inv_dxp = jnp.asarray(1.0 / dx, dtype) ** scheme.derivative_order
 
     def sl(lo, hi):
         return lax.slice_in_dim(f, lo, hi, axis=axis)
@@ -63,17 +69,23 @@ def compact_rhs(f: jnp.ndarray, dx, scheme: CompactScheme, axis: int = 0):
         pad[axis] = (-k, 0)
         return jnp.pad(sl(0, n + k), pad)
 
+    def center(r):
+        if scheme.rhs_center:
+            r = r + jnp.asarray(scheme.rhs_center, dtype) * f
+        return r
+
     if scheme.periodic:
         r = jnp.zeros_like(f)
         for k, w in zip(scheme.rhs_offsets, scheme.rhs_weights):
             r = r + jnp.asarray(w, dtype) * (
-                jnp.roll(f, -k, axis=axis) - jnp.roll(f, k, axis=axis)
+                jnp.roll(f, -k, axis=axis) + sgn * jnp.roll(f, k, axis=axis)
             )
-        return r / jnp.asarray(dx, dtype)
+        return center(r) * inv_dxp
 
     r = jnp.zeros_like(f)
     for k, w in zip(scheme.rhs_offsets, scheme.rhs_weights):
-        r = r + jnp.asarray(w, dtype) * (shift(k) - shift(-k))
+        r = r + jnp.asarray(w, dtype) * (shift(k) + sgn * shift(-k))
+    r = center(r)
     # closure rows (nb >= stencil_width for all shipped schemes, so exactly
     # the rows whose interior stencil poked outside get overwritten)
     nb = scheme.n_closure
@@ -95,7 +107,7 @@ def compact_rhs(f: jnp.ndarray, dx, scheme: CompactScheme, axis: int = 0):
         top + [lax.slice_in_dim(r, nb, n - nb, axis=axis)] + bot[::-1],
         axis=axis,
     )
-    return r / jnp.asarray(dx, dtype)
+    return r * inv_dxp
 
 
 def closure_ghosts(f: jnp.ndarray, scheme: CompactScheme):
@@ -119,19 +131,21 @@ def closure_ghosts(f: jnp.ndarray, scheme: CompactScheme):
     dtype = f.dtype
     offsets = scheme.rhs_offsets
     weights = scheme.rhs_weights
+    sgn = jnp.asarray(scheme.rhs_sign, dtype)
+    c0 = scheme.rhs_center
 
     def solve_ghosts(g, targets):
         """Left-edge ghost construction on field ``g`` with per-row targets.
 
-        Row j's interior stencil sum_k w_k (g[j+k] - g[j-k]) must equal
-        targets[j]; out-of-range g[j-k] (j-k < 0) are the unknown ghosts
-        gh[m-1] = g[-m]. Rows are processed from j = nb-1 downward so each
-        row introduces exactly one *new* (outermost) unknown.
+        Row j's interior stencil sum_k w_k (g[j+k] + sgn*g[j-k]) + c0*g[j]
+        must equal targets[j]; out-of-range g[j-k] (j-k < 0) are the unknown
+        ghosts gh[m-1] = g[-m]. Rows are processed from j = nb-1 downward so
+        each row introduces exactly one *new* (outermost) unknown.
         """
         gh = [None] * w
         for j in range(nb - 1, -1, -1):
             m_outer = max(k - j for k in offsets)
-            acc = jnp.zeros_like(targets[j])
+            acc = jnp.asarray(c0, dtype) * g[j] if c0 else jnp.zeros_like(targets[j])
             w_outer = None
             for k, wk in zip(offsets, weights):
                 wk = jnp.asarray(wk, dtype)
@@ -140,9 +154,9 @@ def closure_ghosts(f: jnp.ndarray, scheme: CompactScheme):
                     acc = acc + wk * g[j + k]
                     continue
                 gm = gh[k - j - 1] if j - k < 0 else g[j - k]
-                acc = acc + wk * (g[j + k] - gm)
-            # targets[j] = acc - w_outer * gh[m_outer-1]
-            gh[m_outer - 1] = (acc - targets[j]) / w_outer
+                acc = acc + wk * (g[j + k] + sgn * gm)
+            # targets[j] = acc + sgn * w_outer * gh[m_outer-1]
+            gh[m_outer - 1] = sgn * (targets[j] - acc) / w_outer
         return gh
 
     def targets_for(g):
@@ -155,10 +169,11 @@ def closure_ghosts(f: jnp.ndarray, scheme: CompactScheme):
         return out
 
     ghosts_l = solve_ghosts(f, targets_for(f))
-    # Right edge by mirror antisymmetry: on the reversed field the interior
-    # stencil flips sign, and the right closure rows are the negated mirror
-    # of the left ones — the two sign flips cancel, so the reversed-field
-    # construction uses the *unnegated* left-row targets.
+    # Right edge by mirror symmetry: for odd derivative orders the reversed-
+    # field stencil flips sign AND the right closure rows are the negated
+    # mirror of the left ones — the two flips cancel; for even orders
+    # neither flips. Either way the reversed-field construction uses the
+    # left-row targets unchanged.
     fr = f[::-1]
     ghosts_r = solve_ghosts(fr, targets_for(fr))
 

@@ -25,7 +25,7 @@ def compact_rhs_np(scheme: CompactScheme, f: np.ndarray, dx: float) -> np.ndarra
     f = np.asarray(f, dtype=np.float64)
     n = f.shape[0]
     B = rhs_matrix(scheme, n)
-    return np.tensordot(B, f, axes=(1, 0)) / dx
+    return np.tensordot(B, f, axes=(1, 0)) / dx**scheme.derivative_order
 
 
 def solve_line_np(scheme: CompactScheme, rhs: np.ndarray) -> np.ndarray:
@@ -52,7 +52,8 @@ def solve_line_np(scheme: CompactScheme, rhs: np.ndarray) -> np.ndarray:
 def derivative_np(
     scheme: CompactScheme, f: np.ndarray, dx: float, axis: int = 0
 ) -> np.ndarray:
-    """Full compact first derivative of ``f`` along ``axis`` (float64)."""
+    """Full compact derivative of ``f`` along ``axis`` (float64; the
+    scheme's ``derivative_order`` selects first or second derivative)."""
     f = np.moveaxis(np.asarray(f, dtype=np.float64), axis, 0)
     x = solve_line_np(scheme, compact_rhs_np(scheme, f, dx))
     return np.moveaxis(x, 0, axis)

@@ -415,7 +415,10 @@ class DistributedCompactSolver:
         inv_dx = 1.0 / grid.spacing[axis3]
         from ..ops.derivatives import resolve_method
 
-        method = resolve_method(self.method, f.dtype, n // p)
+        method = resolve_method(
+            self.method, f.dtype, n // p,
+            derivative_order=scheme.derivative_order,
+        )
         if method == "thomas":
             # the distributed local solve has no scan-based Thomas variant;
             # it would ship PCR tables anyway, so alias explicitly rather
@@ -544,7 +547,10 @@ class DistributedCompactSolver:
         p = grid.proc_shape[axis3]
         n = grid.shape[axis3]
         inv_dx = 1.0 / grid.spacing[axis3]
-        method = resolve_method(self.method, f.dtype, n // p)
+        method = resolve_method(
+            self.method, f.dtype, n // p,
+            derivative_order=scheme.derivative_order,
+        )
         if method == "thomas":
             method = "pcr"
         tables = direction_tables(scheme, n, p)

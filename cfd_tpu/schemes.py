@@ -1,7 +1,7 @@
 """Compact finite-difference scheme definitions.
 
-A compact (Padé) first-derivative scheme couples unknown derivatives through a
-tridiagonal left-hand side:
+A compact (Padé) scheme couples unknown derivatives through a tridiagonal
+left-hand side. For the first derivative,
 
     alpha * f'[i-1] + f'[i] + alpha * f'[i+1] = RHS(f)[i] / dx
 
@@ -10,6 +10,14 @@ with an antisymmetric interior RHS stencil
     RHS(f)[i] = sum_k  w_k * (f[i+k] - f[i-k])
 
 and, for non-periodic boundaries, one-sided closure rows near each edge.
+Second-derivative schemes (``derivative_order == 2``) use the same
+tridiagonal structure with a *symmetric* interior stencil
+
+    RHS(f)[i] = sum_k  w_k * (f[i+k] - 2 f[i] + f[i-k])
+
+scaled by 1/dx**2; right-edge closures mirror without the sign flip (d²/dx²
+is invariant under x -> -x). Every solver, kernel, and oracle in the package
+is scheme-table-driven, so both derivative orders ride the same machinery.
 
 The reference implementation hard-codes the 4th-order interior scheme with a
 3rd-order closure (see /root/reference/code/cuda/solvers/templated/
@@ -46,6 +54,10 @@ __all__ = [
     "SCHEME6",
     "SCHEME4_PERIODIC",
     "SCHEME6_PERIODIC",
+    "SCHEME4_D2",
+    "SCHEME6_D2",
+    "SCHEME4_D2_PERIODIC",
+    "SCHEME6_D2_PERIODIC",
     "get_scheme",
     "lhs_bands",
     "rhs_matrix",
@@ -70,7 +82,11 @@ class BoundaryRow:
 
 @dataclasses.dataclass(frozen=True)
 class CompactScheme:
-    """A compact first-derivative scheme (interior + closures)."""
+    """A compact derivative scheme (interior + closures).
+
+    ``derivative_order`` is 1 (antisymmetric RHS, 1/dx scaling) or 2
+    (symmetric RHS with a -2 f[i] centre term, 1/dx**2 scaling).
+    """
 
     name: str
     order: int
@@ -79,6 +95,19 @@ class CompactScheme:
     rhs_offsets: Tuple[int, ...]
     rhs_weights: Tuple[float, ...]
     left_rows: Tuple[BoundaryRow, ...] = ()
+    derivative_order: int = 1
+
+    @property
+    def rhs_sign(self) -> float:
+        """Sign of the f[i-k] term: -1 (odd derivative) or +1 (even)."""
+        return -1.0 if self.derivative_order % 2 else 1.0
+
+    @property
+    def rhs_center(self) -> float:
+        """Weight of the f[i] centre term (0 for first derivatives)."""
+        if self.derivative_order % 2:
+            return 0.0
+        return -2.0 * sum(self.rhs_weights)
 
     @property
     def stencil_width(self) -> int:
@@ -93,18 +122,20 @@ class CompactScheme:
     def right_rows(self) -> Tuple[BoundaryRow, ...]:
         """Closure rows at the right edge, mirrored from the left ones.
 
-        Row j from the right: lhs reversed, RHS stencil reversed and negated
-        (first-derivative antisymmetry), indexing f from the right edge
-        inward. Matches the reference's explicit right closure
-        (kernels.cu:42-46: the negated mirror of the left row).
+        Row j from the right: lhs reversed, RHS stencil reversed and — for
+        odd derivative orders — negated (x -> -x flips the sign of f' but
+        not of f''), indexing f from the right edge inward. Matches the
+        reference's explicit right closure (kernels.cu:42-46: the negated
+        mirror of the left row).
         """
+        s = self.rhs_sign
         out = []
         for row in self.left_rows:
             a, b, c = row.lhs
             out.append(
                 BoundaryRow(
                     lhs=(c, b, a),
-                    rhs_stencil=tuple(-w for w in row.rhs_stencil),
+                    rhs_stencil=tuple(s * w for w in row.rhs_stencil),
                 )
             )
         return tuple(out)
@@ -170,21 +201,90 @@ SCHEME6_PERIODIC = dataclasses.replace(
     SCHEME6, name="lele6_periodic", periodic=True, left_rows=()
 )
 
+# ---------------------------------------------------------------------------
+# Second-derivative schemes (derivative_order = 2; Lele 1992 §2.2/§4.3).
+# Interior RHS form: sum_k w_k (f[i+k] - 2 f[i] + f[i-k]) / dx^2.
+# ---------------------------------------------------------------------------
+
+# 4th-order Padé d2: (1/10, 1, 1/10) f'' = (6/5)(f[i+1]-2f[i]+f[i-1])/dx^2
+# (Lele eq. 2.2.7 with alpha=1/10). Wall closure, 4th-order exact
+# (verified on x^p, p<=4):
+#   f''[0] + 11 f''[1] = (13 f0 - 27 f1 + 15 f2 - f3) / dx^2
+SCHEME4_D2 = CompactScheme(
+    name="pade4_d2",
+    order=4,
+    periodic=False,
+    alpha=0.1,
+    rhs_offsets=(1,),
+    rhs_weights=(1.2,),
+    left_rows=(BoundaryRow(lhs=(0.0, 1.0, 11.0), rhs_stencil=(13.0, -27.0, 15.0, -1.0)),),
+    derivative_order=2,
+)
+
+SCHEME4_D2_PERIODIC = dataclasses.replace(
+    SCHEME4_D2, name="pade4_d2_periodic", periodic=True, left_rows=()
+)
+
+# 6th-order tridiagonal d2 (Lele eq. 2.2.7, alpha=2/11):
+#   (2/11, 1, 2/11) f'' = (12/11)(f[i+1]-2f[i]+f[i-1])/dx^2
+#                        + (3/44)(f[i+2]-2f[i]+f[i-2])/dx^2
+# Wall closure: the unique 6-point one-sided row exact on x^p, p<=6
+# (solved from the order conditions; the textbook 5-point row has LHS
+# weight 10, which makes the leading 2x2 block against the next row's
+# alpha=1/10 exactly singular — LU without pivoting breaks down):
+#   f''[0] + (137/13) f''[1] = (1955/156 f0 - 4057/156 f1 + 1117/78 f2
+#                               - 55/78 f3 - 29/156 f4 + 7/156 f5) / dx^2
+# Next-to-wall row: the 4th-order Padé d2 interior row (needs f[0..2] only).
+SCHEME6_D2 = CompactScheme(
+    name="lele6_d2",
+    order=6,
+    periodic=False,
+    alpha=2.0 / 11.0,
+    rhs_offsets=(1, 2),
+    rhs_weights=(12.0 / 11.0, 3.0 / 44.0),
+    left_rows=(
+        BoundaryRow(
+            lhs=(0.0, 1.0, 137.0 / 13.0),
+            rhs_stencil=(
+                1955.0 / 156.0,
+                -4057.0 / 156.0,
+                1117.0 / 78.0,
+                -55.0 / 78.0,
+                -29.0 / 156.0,
+                7.0 / 156.0,
+            ),
+        ),
+        BoundaryRow(lhs=(0.1, 1.0, 0.1), rhs_stencil=(1.2, -2.4, 1.2)),
+    ),
+    derivative_order=2,
+)
+
+SCHEME6_D2_PERIODIC = dataclasses.replace(
+    SCHEME6_D2, name="lele6_d2_periodic", periodic=True, left_rows=()
+)
+
 _SCHEMES = {
-    (4, False): SCHEME4,
-    (4, True): SCHEME4_PERIODIC,
-    (6, False): SCHEME6,
-    (6, True): SCHEME6_PERIODIC,
+    (4, False, 1): SCHEME4,
+    (4, True, 1): SCHEME4_PERIODIC,
+    (6, False, 1): SCHEME6,
+    (6, True, 1): SCHEME6_PERIODIC,
+    (4, False, 2): SCHEME4_D2,
+    (4, True, 2): SCHEME4_D2_PERIODIC,
+    (6, False, 2): SCHEME6_D2,
+    (6, True, 2): SCHEME6_D2_PERIODIC,
 }
 
 
-def get_scheme(order: int = 4, periodic: bool = False) -> CompactScheme:
+def get_scheme(
+    order: int = 4, periodic: bool = False, derivative: int = 1
+) -> CompactScheme:
+    """Scheme of accuracy ``order`` for the ``derivative``-th derivative."""
     try:
-        return _SCHEMES[(order, periodic)]
+        return _SCHEMES[(order, periodic, derivative)]
     except KeyError:
         raise ValueError(
-            f"no compact scheme of order {order} (periodic={periodic}); "
-            f"available: {sorted(_SCHEMES)}"
+            f"no compact scheme of order {order} (periodic={periodic}, "
+            f"derivative={derivative}); available: {sorted(_SCHEMES)}"
         ) from None
 
 
@@ -249,17 +349,17 @@ def rhs_matrix(scheme: CompactScheme, n: int, dtype=np.float64) -> np.ndarray:
     Oracle/test helper — O(n^2) storage, never used on the hot path.
     """
     B = np.zeros((n, n), dtype=dtype)
+    s = scheme.rhs_sign
+    c0 = scheme.rhs_center
     for k, w in zip(scheme.rhs_offsets, scheme.rhs_weights):
         for i in range(n):
             ip = (i + k) % n if scheme.periodic else i + k
             im = (i - k) % n if scheme.periodic else i - k
             if scheme.periodic or (0 <= ip < n and 0 <= im < n):
-                if scheme.periodic:
-                    B[i, ip] += w
-                    B[i, im] -= w
-                else:
-                    B[i, ip] += w
-                    B[i, im] -= w
+                B[i, ip] += w
+                B[i, im] += s * w
+    if c0:
+        B[np.arange(n), np.arange(n)] += c0
     if not scheme.periodic:
         # zero out and install closure rows
         for j, row in enumerate(scheme.left_rows):
