@@ -33,30 +33,65 @@ __all__ = ["AdvectionDiffusion", "Derivs"]
 
 @dataclasses.dataclass(frozen=True)
 class Derivs:
-    """A (dfdx, dfdy, dfdz) bundle; single-device or distributed."""
+    """A (dfdx, dfdy, dfdz) bundle; single-device or distributed.
+
+    ``laplacian``, when set, is used by the models for diffusion terms
+    (compact second-derivative schemes: one solve per axis and no
+    high-wavenumber damping from chaining two first derivatives). When
+    None, models fall back to the repeated-first-derivative form — the
+    only option the reference's first-derivative-only surface allows.
+    """
 
     dfdx: Callable
     dfdy: Callable
     dfdz: Callable
+    laplacian: Callable = None
 
     @classmethod
     def single_device(
-        cls, spacing, scheme: CompactScheme = SCHEME4_PERIODIC, method: str = "auto"
+        cls,
+        spacing,
+        scheme: CompactScheme = SCHEME4_PERIODIC,
+        method: str = "auto",
+        second_derivative: bool = False,
     ):
+        """``second_derivative=True`` adds a compact-d2 ``laplacian`` of the
+        same order/periodicity as ``scheme``."""
         dz, dy, dx = (
             (spacing, spacing, spacing)
             if isinstance(spacing, (int, float))
             else spacing
         )
+        lap = None
+        if second_derivative:
+            from ..schemes import get_scheme
+
+            d2 = get_scheme(scheme.order, scheme.periodic, derivative=2)
+            lap = lambda f: single.laplacian(f, (dz, dy, dx), d2, method=method)
         return cls(
             dfdx=lambda f: single.dfdx(f, dx, scheme, method=method),
             dfdy=lambda f: single.dfdy(f, dy, scheme, method=method),
             dfdz=lambda f: single.dfdz(f, dz, scheme, method=method),
+            laplacian=lap,
         )
 
     @classmethod
-    def distributed(cls, solver):
-        return cls(dfdx=solver.dfdx, dfdy=solver.dfdy, dfdz=solver.dfdz)
+    def distributed(cls, solver, d2_solver=None):
+        """``d2_solver``: a DistributedCompactSolver over the same grid
+        geometry with a derivative_order=2 scheme; its axis ops *are*
+        second derivatives, so their sum is the sharded Laplacian."""
+        lap = None
+        if d2_solver is not None:
+            if d2_solver.grid.scheme.derivative_order != 2:
+                raise ValueError(
+                    "d2_solver must carry a derivative_order=2 scheme"
+                )
+            lap = lambda f: (
+                d2_solver.dfdx(f) + d2_solver.dfdy(f) + d2_solver.dfdz(f)
+            )
+        return cls(
+            dfdx=solver.dfdx, dfdy=solver.dfdy, dfdz=solver.dfdz, laplacian=lap
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,7 +106,10 @@ class AdvectionDiffusion:
         d = self.derivs
         fx, fy, fz = d.dfdx(f), d.dfdy(f), d.dfdz(f)
         adv = ux * fx + uy * fy + uz * fz
-        lap = d.dfdx(fx) + d.dfdy(fy) + d.dfdz(fz)
+        if d.laplacian is not None:
+            lap = d.laplacian(f)
+        else:
+            lap = d.dfdx(fx) + d.dfdy(fy) + d.dfdz(fz)
         return -adv + self.nu * lap
 
     def step(self, f, u, dt) -> jax.Array:

@@ -3,7 +3,9 @@
     du/dt + (u . grad) u = nu * laplacian(u)
 
 for a 3-component velocity field, with every spatial derivative a compact
-derivative from this package (Laplacian as repeated first derivative).
+derivative from this package (Laplacian via the compact second-derivative
+schemes when the Derivs bundle provides one, else as repeated first
+derivative).
 Nonlinear counterpart of the advection–diffusion model: the advecting field
 is the solution itself, so each RK stage re-evaluates all nine first
 derivatives — a heavier, production-shaped pipeline (the Taylor–Green
@@ -37,7 +39,10 @@ class Burgers:
         for comp in (ux, uy, uz):
             cx, cy, cz = d.dfdx(comp), d.dfdy(comp), d.dfdz(comp)
             adv = ux * cx + uy * cy + uz * cz
-            lap = d.dfdx(cx) + d.dfdy(cy) + d.dfdz(cz)
+            if d.laplacian is not None:
+                lap = d.laplacian(comp)
+            else:
+                lap = d.dfdx(cx) + d.dfdy(cy) + d.dfdz(cz)
             out.append(-adv + self.nu * lap)
         return tuple(out)
 
