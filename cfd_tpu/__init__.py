@@ -25,6 +25,7 @@ from .ops import (
     dfdy,
     dfdz,
     divergence,
+    filter_field,
     gradient,
     laplacian,
 )
@@ -38,6 +39,7 @@ from .schemes import (
     SCHEME6_D2_PERIODIC,
     SCHEME6_PERIODIC,
     CompactScheme,
+    get_filter,
     get_scheme,
 )
 
@@ -61,9 +63,11 @@ __all__ = [
     "dfdy",
     "dfdz",
     "divergence",
+    "filter_field",
     "gradient",
     "laplacian",
     "CompactScheme",
+    "get_filter",
     "get_scheme",
     "SCHEME4",
     "SCHEME4_PERIODIC",

@@ -12,6 +12,7 @@ from .derivatives import (
     dfdz,
     divergence,
     gradient,
+    filter_field,
     laplacian,
     line_factors,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "dfdz",
     "divergence",
     "gradient",
+    "filter_field",
     "laplacian",
     "line_factors",
     "closure_ghosts",

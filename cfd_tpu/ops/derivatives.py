@@ -37,6 +37,7 @@ __all__ = [
     "divergence",
     "curl",
     "laplacian",
+    "filter_field",
 ]
 
 _METHODS = ("auto", "pcr", "thomas", "pallas", "matmul", "stencil")
@@ -438,6 +439,35 @@ def dfdy(f, dy, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
 def dfdz(f, dz, scheme: CompactScheme = SCHEME4, *, method: str = "auto", **kw):
     """d/dz — derivative along the third-to-last axis."""
     return derivative(f, dz, scheme, axis=-3, method=method, **kw)
+
+
+def filter_field(
+    f: jax.Array,
+    scheme: CompactScheme = None,
+    *,
+    axis=None,
+    method: str = "auto",
+) -> jax.Array:
+    """Apply a compact low-pass filter (schemes.get_filter) to ``f``.
+
+    ``axis=None`` filters all three trailing axes sequentially (the standard
+    per-direction sweep); an int filters one axis. The filter is the same
+    tridiagonal solve as a derivative with ``derivative_order=0`` — no
+    spacing scale — so every backend applies.
+    """
+    if scheme is None:
+        from ..schemes import get_filter
+
+        scheme = get_filter()
+    if scheme.derivative_order != 0:
+        raise ValueError(
+            f"scheme {scheme.name!r} is not a filter (derivative_order="
+            f"{scheme.derivative_order}); build one with schemes.get_filter"
+        )
+    axes = (-1, -2, -3) if axis is None else (axis,)
+    for ax in axes:
+        f = derivative(f, 1.0, scheme, axis=ax, method=method)
+    return f
 
 
 def _d2_scheme(scheme: CompactScheme) -> CompactScheme:

@@ -99,8 +99,8 @@ def _fused_kernel(
     out_ref:      (n, S, 128)
     """
     taps, sgn, c0, dord = stencil
-    inv_dx = inv_dx_ref[0]
-    for _ in range(dord - 1):  # reciprocal spacing -> 1/dx**order (static)
+    inv_dx = 1.0  # reciprocal spacing -> 1/dx**order (order is static;
+    for _ in range(dord):  # order 0 = filters: no spacing scale at all)
         inv_dx = inv_dx * inv_dx_ref[0]
 
     def row(i):

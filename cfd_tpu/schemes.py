@@ -43,6 +43,7 @@ antisymmetry of the first derivative (x -> -x flips the sign of f').
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -59,6 +60,7 @@ __all__ = [
     "SCHEME4_D2_PERIODIC",
     "SCHEME6_D2_PERIODIC",
     "get_scheme",
+    "get_filter",
     "lhs_bands",
     "rhs_matrix",
 ]
@@ -96,6 +98,7 @@ class CompactScheme:
     rhs_weights: Tuple[float, ...]
     left_rows: Tuple[BoundaryRow, ...] = ()
     derivative_order: int = 1
+    rhs_center_weight: float = None
 
     @property
     def rhs_sign(self) -> float:
@@ -104,9 +107,22 @@ class CompactScheme:
 
     @property
     def rhs_center(self) -> float:
-        """Weight of the f[i] centre term (0 for first derivatives)."""
+        """Weight of the f[i] centre term.
+
+        0 for first derivatives, -2*sum(w) for second derivatives (the
+        (f[i+k] - 2 f[i] + f[i-k]) form), and an explicit free coefficient
+        for filters (derivative_order=0), where it is an independent
+        parameter of the transfer function.
+        """
+        if self.rhs_center_weight is not None:
+            return self.rhs_center_weight
         if self.derivative_order % 2:
             return 0.0
+        if self.derivative_order == 0:
+            raise ValueError(
+                f"scheme {self.name}: derivative_order=0 (filter) requires "
+                "an explicit rhs_center_weight"
+            )
         return -2.0 * sum(self.rhs_weights)
 
     @property
@@ -273,6 +289,66 @@ _SCHEMES = {
     (6, False, 2): SCHEME6_D2,
     (6, True, 2): SCHEME6_D2_PERIODIC,
 }
+
+
+@functools.lru_cache(maxsize=None)
+def get_filter(
+    order: int = 6, alpha: float = 0.45, periodic: bool = False
+) -> CompactScheme:
+    """Compact (Padé-type) low-pass filter scheme of the given order.
+
+    Lele 1992 §C tridiagonal filters (the Gaitonde–Visbal F4/F6 family):
+
+        alpha fh[i-1] + fh[i] + alpha fh[i+1]
+            = c0 f[i] + sum_k w_k (f[i+k] + f[i-k])
+
+    with coefficients solved from the transfer-function order conditions:
+    G(0) = 1 (constants exact), G(pi) = 0 (the Nyquist sawtooth is
+    annihilated exactly), and G(k) = 1 - O(k^order). ``alpha`` in
+    (-0.5, 0.5) tunes sharpness: larger alpha keeps more of the resolved
+    band (alpha=0.5 is the identity). Non-periodic boundaries leave the
+    outermost ``order/2`` points unfiltered (identity rows), the standard
+    practice for boundary filter closures.
+
+    Filters are ``derivative_order=0`` schemes: no spacing scale, the
+    symmetric RHS form, and every solver backend/oracle/distributed path of
+    this package applies unchanged (the lane/sublane fast kernels refuse
+    them, exactly as they refuse d2 schemes).
+    """
+    if not -0.5 < alpha < 0.5:
+        raise ValueError(f"filter alpha must be in (-0.5, 0.5), got {alpha}")
+    if order == 4:
+        # w1, w2 solved from G(0)=1, sum w_k k^2 = alpha, G(pi)=0
+        weights = ((1.0 + 2.0 * alpha) / 4.0, -(1.0 - 2.0 * alpha) / 16.0)
+        center = (5.0 + 6.0 * alpha) / 8.0
+        offsets = (1, 2)
+    elif order == 6:
+        # additionally sum w_k k^4 = alpha (6th-order flatness at k=0)
+        weights = (
+            15.0 / 64.0 + 17.0 * alpha / 32.0,
+            -3.0 * (1.0 - 2.0 * alpha) / 32.0,
+            (1.0 - 2.0 * alpha) / 64.0,
+        )
+        center = (11.0 + 10.0 * alpha) / 16.0
+        offsets = (1, 2, 3)
+    else:
+        raise ValueError(f"no compact filter of order {order}; available: 4, 6")
+    width = max(offsets)
+    rows = tuple(
+        BoundaryRow(lhs=(0.0, 1.0, 0.0), rhs_stencil=(0.0,) * j + (1.0,))
+        for j in range(width)
+    )
+    return CompactScheme(
+        name=f"filter{order}_a{alpha:g}" + ("_periodic" if periodic else ""),
+        order=order,
+        periodic=periodic,
+        alpha=alpha,
+        rhs_offsets=offsets,
+        rhs_weights=weights,
+        left_rows=() if periodic else rows,
+        derivative_order=0,
+        rhs_center_weight=center,
+    )
 
 
 def get_scheme(
