@@ -171,6 +171,46 @@ def bench_full_derivative(n, results):
         _emit(results, row, t, n**3)
 
 
+def bench_d2_and_filter(n, results):
+    """Second-derivative and compact-filter throughput (beyond-reference ops).
+
+    Gates: d2 rows against the f64 oracle on the f32-cast field at 5e-3 rel
+    (the intrinsic f32 input-quantisation amplification of d2 at 256^3 is
+    ~1e-3 — docs/RESULTS.md); filter rows at 1e-4 against the oracle.
+    """
+    from cfd_tpu.oracle import derivative_np
+    from cfd_tpu.schemes import get_filter
+
+    d = 2 * math.pi / n
+    c = np.arange(n) * d
+    f64 = (
+        np.sin(c)[None, None, :] * np.cos(2 * c)[None, :, None] * np.ones((n, 1, 1))
+        + 0.3 * np.cos(3 * c)[:, None, None]
+    )
+    f = jnp.asarray(f64, jnp.float32)
+    f_host = np.asarray(f, np.float64)
+    d2 = cfd_tpu.SCHEME4_D2_PERIODIC
+    filt = get_filter(6, 0.45, periodic=True)
+    cases = [
+        ("d2fdx2", lambda g: cfd_tpu.d2fdx2(g, d, d2), -1, d2, 5e-3),
+        ("d2fdz2", lambda g: cfd_tpu.d2fdz2(g, d, d2), -3, d2, 5e-3),
+        ("filter_x", lambda g: cfd_tpu.filter_field(g, filt, axis=-1), -1, filt, 1e-4),
+    ]
+    for name, step, axis, scheme, tol in cases:
+        row = {"bench": "d2_filter", "op": name, "method": "auto", "grid": f"{n}^3"}
+        got = np.asarray(step(f))
+        ex = derivative_np(scheme, f_host, 1.0 if scheme is filt else d, axis=axis)
+        err = np.abs(got - ex).max() / np.abs(ex).max()
+        if not np.isfinite(err) or err > tol:
+            row["gate"] = "failed"
+            row["rel_err"] = float(err)
+            _emit(results, row)
+            continue
+        row["rel_err"] = round(float(err), 9)
+        t = chain_time(step, f, k_small=2, k_big=14, repeats=2)
+        _emit(results, row, t, n**3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="64,128,256")
@@ -183,6 +223,7 @@ def main():
         bench_solve_only(n, results)
         if not args.solve_only:
             bench_full_derivative(n, results)
+            bench_d2_and_filter(n, results)
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(

@@ -68,9 +68,23 @@ def resolve_method(
     if dtype == jnp.float64 or jax.default_backend() == "cpu":
         return "pcr"
     if derivative_order != 1:
-        # the lane/sublane kernels are first-derivative only (their in-kernel
-        # RHS folds assume the antisymmetric stencil); the dense operator and
-        # its blocked substructured form are scheme-table generic
+        # d2/filters: the lane/sublane *fold* form is table-generic and wins
+        # where measured (256^3 f32, same-run interleaved): d2 1.9x/1.3x the
+        # dense matmul on minor/second-minor axes with equal-or-better
+        # accuracy; filters 1.4x on the second-minor axis, but LOSE on the
+        # minor axis (0.33 vs 0.28 ms — the width-3 filter stencil triples
+        # the per-block edge-lane FMAs, which are exposed VPU time in the
+        # lane orientation). Deeper axes and long lines take the
+        # dense/blocked MXU operator.
+        from .pallas_lane import FOLD_MAX, lane_supported
+
+        fold_ok = (
+            dtype in (jnp.float32, jnp.bfloat16)
+            and n <= FOLD_MAX
+            and lane_supported(None, n, dtype)
+        )
+        if fold_ok and (second_minor or (minor_axis and derivative_order == 2)):
+            return "pallas"
         return "matmul"
     if dtype == jnp.float32:
         # f32 only: bf16 fields are fastest through the single-pass MXU

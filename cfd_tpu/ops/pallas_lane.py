@@ -106,13 +106,21 @@ FOLD_MAX = 256
 
 def lane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
     """Whether the lane kernel can differentiate lines of length ``n``."""
+    if scheme is not None and scheme.derivative_order != 1:
+        # The roll form's in-kernel RHS (g-differences, closure deltas)
+        # assumes the antisymmetric first-derivative stencil. The fold form
+        # is table-generic and also serves second derivatives (B annihilates
+        # constants for d2, so the mean subtraction stays valid; measured
+        # 1.9x the dense matmul at 256^3 with equal accuracy) and filters
+        # (no rounding amplification at all — the kernel just skips the
+        # mean subtraction, which requires annihilation) — within the fold
+        # range n <= FOLD_MAX.
+        if n > FOLD_MAX:
+            return False
     return (
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK_LANES == 0
         and n // BLOCK_LANES >= 2
-        # first-derivative only: the in-kernel RHS forms (g-differences,
-        # closure deltas, stencil fold) assume the antisymmetric stencil
-        and (scheme is None or scheme.derivative_order == 1)
     )
 
 
@@ -279,6 +287,7 @@ def _lane_fold_kernel(
     edges_meta,
     d_nonzero,
     compute_dtype,
+    demean: bool = True,
 ):
     """One (R, n) row-block, fold form; see module docstring."""
     m = BLOCK_LANES
@@ -288,9 +297,14 @@ def _lane_fold_kernel(
         precision=jax.lax.Precision.HIGHEST,
     )
     f = f_ref[:].astype(compute_dtype)
-    # B annihilates constants; subtracting the mean spends the f32 mantissa
-    # on the fluctuation instead (20x accuracy, ~2% time — module docstring)
-    fc = f - jnp.mean(f, axis=1, keepdims=True)
+    if demean:
+        # derivative B annihilates constants; subtracting the mean spends
+        # the f32 mantissa on the fluctuation instead (20x accuracy, ~2%
+        # time — module docstring). Filters (order 0) must NOT demean:
+        # their B preserves constants.
+        fc = f - jnp.mean(f, axis=1, keepdims=True)
+    else:
+        fc = f
 
     xr = []
     ei = 0
@@ -402,6 +416,7 @@ def _call_lane_fold(f2, Mt, D, E, *, scheme, n, rows, interpret):
         edges_meta=edges_meta,
         d_nonzero=d_nonzero,
         compute_dtype=jnp.float32,
+        demean=scheme.derivative_order != 0,
     )
     whole = lambda *shape: pl.BlockSpec(
         shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -511,6 +526,13 @@ def lane_derivative(
             f"lane kernel needs n % {BLOCK_LANES} == 0 and >= 2 blocks; "
             f"got n={n}"
         )
+    if scheme.derivative_order != 1:
+        if fold is False:
+            raise ValueError(
+                "the roll form is first-derivative only; d2/filter schemes "
+                "run the fold form (n <= FOLD_MAX)"
+            )
+        fold = True
     if fold is None:
         fold = n <= FOLD_MAX
     bshape = f.shape[:-1]
@@ -525,7 +547,9 @@ def lane_derivative(
     if fold:
         Mt, E, _ = _fold_tables(scheme, n)
         _, D, _, _, _, _, _ = _lane_tables(scheme, n)
-        inv_dx = jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        inv_dx = (
+            jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        ) ** scheme.derivative_order
         out = _call_lane_fold(
             f2,
             jnp.asarray(Mt) * inv_dx,

@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..schemes import CompactScheme
-from .pallas_lane import BLOCK_LANES, _fold_tables, _lane_tables
+from .pallas_lane import BLOCK_LANES, FOLD_MAX, _fold_tables, _lane_tables
 
 __all__ = ["sublane_derivative", "sublane_supported"]
 
@@ -48,12 +48,15 @@ _LANE = 128
 
 def sublane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
     """Whether the sublane kernel can differentiate lines of length ``n``."""
+    if scheme is not None and scheme.derivative_order != 1:
+        # d2 and filters run through the table-generic fold form only
+        # (see lane_supported; filters skip the mean subtraction)
+        if n > FOLD_MAX:
+            return False
     return (
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK == 0
         and n // BLOCK >= 2
-        # first-derivative only (see lane_supported)
-        and (scheme is None or scheme.derivative_order == 1)
     )
 
 
@@ -134,6 +137,7 @@ def _sublane_fold_kernel(
     edges_meta,
     d_nonzero,
     compute_dtype,
+    demean: bool = True,
 ):
     """One (n, C) column-block, fold form (see ops/pallas_lane.py)."""
     m = BLOCK
@@ -143,7 +147,8 @@ def _sublane_fold_kernel(
         precision=jax.lax.Precision.HIGHEST,
     )
     f = f_ref[0].astype(compute_dtype)
-    fc = f - jnp.mean(f, axis=0, keepdims=True)
+    # filters (order 0) must not demean: their B preserves constants
+    fc = f - jnp.mean(f, axis=0, keepdims=True) if demean else f
 
     xr = []
     ei = 0
@@ -181,6 +186,7 @@ def _call_sublane_fold(f3, M, Dt, Et, *, scheme, n, cols, interpret):
         edges_meta=edges_meta,
         d_nonzero=d_nonzero,
         compute_dtype=jnp.float32,
+        demean=scheme.derivative_order != 0,
     )
     whole = lambda *shape: pl.BlockSpec(
         shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -305,6 +311,13 @@ def sublane_derivative(
         raise ValueError(
             f"sublane kernel needs n % {BLOCK} == 0 and >= 2 blocks; got n={n}"
         )
+    if scheme.derivative_order != 1:
+        if fold is False:
+            raise ValueError(
+                "the roll form is first-derivative only; d2/filter schemes "
+                "run the fold form"
+            )
+        fold = True
     if fold is None:
         fold = False
     lead = f.shape[:axis]
@@ -321,7 +334,9 @@ def sublane_derivative(
         Mt, E, _ = _fold_tables(scheme, n)
         M = np.ascontiguousarray(np.transpose(Mt, (0, 2, 1)))  # left-dot form
         _, D, _, _, _, _, _ = _lane_tables(scheme, n)
-        inv_dx = jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        inv_dx = (
+            jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
+        ) ** scheme.derivative_order
         out = _call_sublane_fold(
             f3,
             jnp.asarray(M) * inv_dx,

@@ -72,3 +72,19 @@ def test_native_accuracy_main():
         text=True,
     )
     assert "avg_abs_err" in out.stdout
+
+
+def test_native_thomas_d2_and_filter(rng):
+    """The native solver is band-generic: the d2 and filter schemes' full
+    solves match the scipy oracle through the C++ Thomas path."""
+    from cfd_tpu.oracle import compact_rhs_np, derivative_np
+    from cfd_tpu.schemes import SCHEME4_D2, get_filter
+
+    n = 96
+    for scheme, dx in ((SCHEME4_D2, 0.05), (get_filter(6, 0.45, False), 1.0)):
+        dl, d, du = lhs_bands(scheme, n)
+        f = rng.standard_normal((n, 7))
+        rhs = compact_rhs_np(scheme, f, dx)
+        got = native.thomas_solve_native(dl, d, du, rhs)
+        expect = derivative_np(scheme, f, dx)
+        np.testing.assert_allclose(got, expect, rtol=1e-11, atol=1e-12)

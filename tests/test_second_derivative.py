@@ -158,20 +158,45 @@ def test_d2_rejects_first_derivative_scheme():
         cfd_tpu.laplacian(f, 0.1, cfd_tpu.SCHEME6)
 
 
-def test_auto_routes_d2_to_matmul():
+def test_d2_routing():
+    """auto: d2 takes the fold kernels on minor/second-minor axes within
+    the fold range, the dense/blocked MXU operator elsewhere."""
     from cfd_tpu.ops.derivatives import resolve_method
-
-    assert (
-        resolve_method("auto", jnp.float32, 256, minor_axis=True, derivative_order=2)
-        == "matmul"
-        or jax.default_backend() == "cpu"
-    )
-    # lane/sublane kernels must refuse d2 schemes
     from cfd_tpu.ops.pallas_lane import lane_supported
     from cfd_tpu.ops.pallas_sublane import sublane_supported
 
-    assert not lane_supported(SCHEME4_D2_PERIODIC, 256, jnp.float32)
-    assert not sublane_supported(SCHEME4_D2_PERIODIC, 256, jnp.float32)
+    if jax.default_backend() != "cpu":
+        rm = lambda **kw: resolve_method(
+            "auto", jnp.float32, kw.pop("n", 256), derivative_order=2, **kw
+        )
+        assert rm(minor_axis=True) == "pallas"
+        assert rm(second_minor=True) == "pallas"
+        assert rm() == "matmul"
+        assert rm(minor_axis=True, n=512) == "matmul"
+    # fold kernels serve d2 within FOLD_MAX only
+    assert lane_supported(SCHEME4_D2_PERIODIC, 256, jnp.float32)
+    assert not lane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
+    assert sublane_supported(SCHEME4_D2_PERIODIC, 256, jnp.float32)
+    assert not sublane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
+
+
+def test_sublane_fold_kernel_d2(rng):
+    """Sublane fold form serves d2 along non-minor axes (interpret mode)."""
+    from cfd_tpu.ops.pallas_sublane import sublane_derivative
+
+    n = 256
+    dx = 2 * math.pi / n
+    f64 = rng.standard_normal((n, 6, 4)) + 0.7
+    f = jnp.asarray(f64, jnp.float32)
+    for scheme in (SCHEME4_D2_PERIODIC, SCHEME6_D2):
+        ex = derivative_np(scheme, np.float64(np.float32(f64)), dx, axis=0)
+        got = np.asarray(sublane_derivative(f, dx, scheme, axis=0, interpret=True))
+        rel = np.abs(got - ex).max() / np.abs(ex).max()
+        assert rel < 5e-5, (scheme.name, rel)
+    with pytest.raises(ValueError, match="fold"):
+        sublane_derivative(
+            jnp.zeros((256, 8), jnp.float32), 0.1, SCHEME4_D2, axis=0, fold=False
+        )
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 1, 8)])
@@ -208,3 +233,26 @@ def test_autodiff_through_d2():
     )
     ex = cfd_tpu.d2fdx2(t, dx, SCHEME4_D2_PERIODIC)
     np.testing.assert_allclose(np.asarray(jvp), np.asarray(ex), atol=1e-10)
+
+
+def test_lane_fold_kernel_d2(rng):
+    """The lane kernel's fold form is table-generic and serves d2 schemes
+    (interpret mode; the roll form refuses them)."""
+    from cfd_tpu.ops.pallas_lane import lane_derivative, lane_supported
+
+    n = 256
+    dx = 2 * math.pi / n
+    f64 = rng.standard_normal((16, n)) + 0.7
+    f = jnp.asarray(f64, jnp.float32)
+    for scheme in (SCHEME4_D2_PERIODIC, SCHEME4_D2, SCHEME6_D2):
+        assert lane_supported(scheme, n, jnp.float32)
+        ex = derivative_np(scheme, np.float64(np.float32(f64)).T, dx).T
+        got = np.asarray(lane_derivative(f, dx, scheme, interpret=True))
+        rel = np.abs(got - ex).max() / np.abs(ex).max()
+        assert rel < 5e-5, (scheme.name, rel)
+    # beyond the fold accuracy range the lane kernel refuses d2
+    assert not lane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
+    with pytest.raises(ValueError, match="fold"):
+        lane_derivative(
+            jnp.zeros((8, 256), jnp.float32), 0.1, SCHEME4_D2, fold=False
+        )
