@@ -290,13 +290,47 @@ def _lane_fold_kernel(
     demean: bool = True,
 ):
     """One (R, n) row-block, fold form; see module docstring."""
+    blocks = lane_fold_blocks(
+        f_ref[:],
+        t_ref,
+        d_ref,
+        e_ref,
+        nb=nb,
+        edges_meta=edges_meta,
+        d_nonzero=d_nonzero,
+        compute_dtype=compute_dtype,
+        demean=demean,
+    )
+    m = BLOCK_LANES
+    for b in range(nb):
+        out_ref[:, m * b : m * (b + 1)] = blocks[b].astype(out_ref.dtype)
+
+
+def lane_fold_blocks(
+    f,
+    t_ref,
+    d_ref,
+    e_ref,
+    *,
+    nb: int,
+    edges_meta,
+    d_nonzero,
+    compute_dtype,
+    demean: bool = True,
+):
+    """Fold-form compute on a loaded (R, n) tile -> list of nb (R, m) blocks.
+
+    Shared between the lane kernel and the fused two-axis pair kernel
+    (ops/pallas_pair.py): table refs/arrays index identically, so the same
+    body serves both.
+    """
     m = BLOCK_LANES
     dot = functools.partial(
         jnp.dot,
         preferred_element_type=compute_dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    f = f_ref[:].astype(compute_dtype)
+    f = f.astype(compute_dtype)
     if demean:
         # derivative B annihilates constants; subtracting the mean spends
         # the f32 mantissa on the fluctuation instead (20x accuracy, ~2%
@@ -323,10 +357,11 @@ def _lane_fold_kernel(
         t = face * d_ref[k : k + 1, :]  # (R, n) broadcast-FMA
         corr = t if corr is None else corr + t
 
-    for b in range(nb):
-        sl = slice(m * b, m * (b + 1))
-        blk = xr[b] if corr is None else xr[b] + corr[:, sl]
-        out_ref[:, sl] = blk.astype(out_ref.dtype)
+    if corr is None:
+        return xr
+    return [
+        xr[b] + corr[:, m * b : m * (b + 1)] for b in range(nb)
+    ]
 
 
 def _lane_kernel(
@@ -346,13 +381,50 @@ def _lane_kernel(
     compute_dtype,
 ):
     """One (R, n) row-block; see module docstring for the step list."""
+    blocks = lane_roll_blocks(
+        f_ref[:],
+        t_ref,
+        d_ref,
+        q_ref,
+        n=n,
+        nb=nb,
+        scheme=scheme,
+        closure_taps=closure_taps,
+        closure_blocks=closure_blocks,
+        d_nonzero=d_nonzero,
+        wfold=wfold,
+        compute_dtype=compute_dtype,
+    )
+    m = BLOCK_LANES
+    for b in range(nb):
+        out_ref[:, m * b : m * (b + 1)] = blocks[b].astype(out_ref.dtype)
+
+
+def lane_roll_blocks(
+    f,
+    t_ref,
+    d_ref,
+    q_ref,
+    *,
+    n: int,
+    nb: int,
+    scheme: CompactScheme,
+    closure_taps,
+    closure_blocks,
+    d_nonzero,
+    wfold: float,
+    compute_dtype,
+):
+    """Roll-form compute on a loaded (R, n) tile -> list of nb (R, m)
+    blocks (see module docstring for the step list; shared with the fused
+    pair kernel)."""
     m = BLOCK_LANES
     dot = functools.partial(
         jnp.dot,
         preferred_element_type=compute_dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    f = f_ref[:].astype(compute_dtype)
+    f = f.astype(compute_dtype)
 
     # 1. first differences + compact RHS as windowed sums of g
     g = pltpu.roll(f, n - 1, 1) - f
@@ -388,10 +460,9 @@ def _lane_kernel(
         corr = t if corr is None else corr + t
 
     # 5. assemble
-    for b in range(nb):
-        sl = slice(m * b, m * (b + 1))
-        blk = xr[b] if corr is None else xr[b] + corr[:, sl]
-        out_ref[:, sl] = blk.astype(out_ref.dtype)
+    if corr is None:
+        return xr
+    return [xr[b] + corr[:, m * b : m * (b + 1)] for b in range(nb)]
 
 
 def _pick_rows(n: int, itemsize: int) -> int:

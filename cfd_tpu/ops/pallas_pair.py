@@ -1,0 +1,262 @@
+"""Fused two-axis Pallas kernel: dfdx AND dfdy from ONE read of f.
+
+The gradient pipeline (BASELINE.json config 5: "fused grad/div/curl")
+evaluates several derivatives of the *same* field. Run separately, dfdx
+and dfdy each read all of f from HBM — 2 reads + 2 writes. This kernel
+loads each (ny, nx) plane once and applies both substructured solves to
+the resident tile:
+
+    x-derivative: lines along lanes   -> ops/pallas_lane.py block bodies
+    y-derivative: lines along sublanes -> ops/pallas_sublane.py block body
+
+for 1 read + 2 writes — 3/4 of the separate-op HBM traffic, with the MXU
+work (2 x K=128 block dots per point) still largely hidden behind the DMA.
+The z-derivative cannot join the fusion at practical sizes: a block that
+is full in z, y *and* x is the whole array (VMEM is 16 MB; 256^3 f32 is
+64 MB), so ``gradient`` pairs (x, y) and runs z separately.
+
+Forms follow the single-axis kernels' measured defaults: the x-part uses
+the fold form for nx <= FOLD_MAX (rolls are expensive lane rotates), the
+roll form beyond; the y-part always uses the roll form (sublane rolls are
+cheap shuffles and the sublane fold measured slower for first
+derivatives). First derivatives only — the pair fusion exists for the
+gradient/curl pipelines.
+
+Tables are the same float64-precomputed substructuring tables as the
+single kernels; block bodies are imported from them, so accuracy is
+bit-identical to the unfused ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..schemes import CompactScheme
+from .pallas_lane import (
+    BLOCK_LANES,
+    FOLD_MAX,
+    _fold_tables,
+    _lane_tables,
+    lane_fold_blocks,
+    lane_roll_blocks,
+    lane_supported,
+)
+from .pallas_sublane import sublane_roll_blocks, sublane_supported
+
+__all__ = ["gradient_pair", "pair_supported"]
+
+# VMEM budget: ~11 resident tiles (in x2 double-buffered, 2 outs x2,
+# ~5 temporaries) must fit in ~12 MB -> tile cap 512x512 f32.
+_MAX_TILE = 512 * 512
+
+
+def pair_supported(scheme: CompactScheme, ny: int, nx: int, dtype) -> bool:
+    """Whether the fused (dfdx, dfdy) kernel applies."""
+    return (
+        scheme.derivative_order == 1
+        and lane_supported(scheme, nx, dtype)
+        and sublane_supported(scheme, ny, dtype)
+        and ny * nx <= _MAX_TILE
+    )
+
+
+def _pair_kernel(
+    f_ref,
+    xt_ref,
+    xd_ref,
+    xe_ref,
+    yt_ref,
+    yd_ref,
+    yq_ref,
+    outx_ref,
+    outy_ref,
+    *,
+    nx: int,
+    ny: int,
+    x_fold: bool,
+    x_meta,
+    y_meta,
+    scheme: CompactScheme,
+    compute_dtype,
+):
+    """One (1, ny, nx) plane -> dfdx and dfdy of the resident tile."""
+    m = BLOCK_LANES
+    f = f_ref[0]
+
+    if x_fold:
+        edges_meta, d_nonzero = x_meta
+        xblocks = lane_fold_blocks(
+            f,
+            xt_ref,
+            xd_ref,
+            xe_ref,
+            nb=nx // m,
+            edges_meta=edges_meta,
+            d_nonzero=d_nonzero,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        closure_taps, closure_blocks, d_nonzero, wfold = x_meta
+        xblocks = lane_roll_blocks(
+            f,
+            xt_ref,
+            xd_ref,
+            xe_ref,
+            n=nx,
+            nb=nx // m,
+            scheme=scheme,
+            closure_taps=closure_taps,
+            closure_blocks=closure_blocks,
+            d_nonzero=d_nonzero,
+            wfold=wfold,
+            compute_dtype=compute_dtype,
+        )
+    for b in range(nx // m):
+        outx_ref[0, :, m * b : m * (b + 1)] = xblocks[b].astype(outx_ref.dtype)
+
+    closure_taps, closure_blocks, d_nonzero, wfold = y_meta
+    yblocks = sublane_roll_blocks(
+        f,
+        yt_ref,
+        yd_ref,
+        yq_ref,
+        n=ny,
+        nb=ny // m,
+        scheme=scheme,
+        closure_taps=closure_taps,
+        closure_blocks=closure_blocks,
+        d_nonzero=d_nonzero,
+        wfold=wfold,
+        compute_dtype=compute_dtype,
+    )
+    for b in range(ny // m):
+        outy_ref[0, m * b : m * (b + 1), :] = yblocks[b].astype(outy_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scheme", "ny", "nx", "x_fold", "interpret")
+)
+def _call_pair(f3, xt, xd, xe, yt, yd, yq, *, scheme, ny, nx, x_fold, interpret):
+    B = f3.shape[0]
+    if x_fold:
+        _, _, edges_meta = _fold_tables(scheme, nx)
+        _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, nx)
+        x_meta = (edges_meta, d_nonzero)
+    else:
+        _, _, _, ct, cb, d_nonzero, wfold = _lane_tables(scheme, nx)
+        x_meta = (ct, cb, d_nonzero, wfold)
+    _, _, _, cty, cby, d_nonzero_y, wfold_y = _lane_tables(scheme, ny)
+    y_meta = (cty, cby, d_nonzero_y, wfold_y)
+    kernel = functools.partial(
+        _pair_kernel,
+        nx=nx,
+        ny=ny,
+        x_fold=x_fold,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        scheme=scheme,
+        compute_dtype=jnp.float32,
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    outx, outy = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, ny, nx), f3.dtype),
+            jax.ShapeDtypeStruct((B, ny, nx), f3.dtype),
+        ),
+        grid=(B,),
+        in_specs=[
+            plane(),
+            whole(xt),
+            whole(xd),
+            whole(xe),
+            whole(yt),
+            whole(yd),
+            whole(yq),
+        ],
+        out_specs=(plane(), plane()),
+        # memory-biased estimate (1 read + 2 writes); the K=128 dots hide
+        # behind the DMA exactly as in the single-axis kernels
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * ny * nx,
+            bytes_accessed=3 * B * ny * nx * f3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(f3, xt, xd, xe, yt, yd, yq)
+    return outx, outy
+
+
+def gradient_pair(
+    f: jax.Array,
+    dy,
+    dx,
+    scheme: CompactScheme,
+    *,
+    interpret: bool = False,
+):
+    """(df/dx, df/dy) of ``f`` with shape (..., ny, nx), one HBM read of f.
+
+    Requires ``pair_supported``; callers fall back to the single-axis ops
+    otherwise.
+    """
+    if f.dtype == jnp.float64:
+        raise ValueError(
+            "the pair Pallas path supports float32/bfloat16 only; use "
+            "method='pcr' for float64 runs"
+        )
+    ny, nx = f.shape[-2], f.shape[-1]
+    if not pair_supported(scheme, ny, nx, f.dtype):
+        raise ValueError(
+            f"pair kernel unsupported for shape (..., {ny}, {nx}) "
+            f"dtype {f.dtype} scheme {scheme.name}"
+        )
+    lead = f.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    f3 = f.reshape(B, ny, nx)
+    x_fold = nx <= FOLD_MAX
+
+    inv_dx = jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
+    if x_fold:
+        Mt, E, _ = _fold_tables(scheme, nx)
+        _, D, _, _, _, _, _ = _lane_tables(scheme, nx)
+        xt = jnp.asarray(Mt) * inv_dx
+        xd = jnp.asarray(D)
+        xe = jnp.asarray(E) * inv_dx
+    else:
+        Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, nx)
+        if Q is None:
+            Q = np.zeros((1, nx), np.float32)
+        scale = jnp.asarray(wfold, jnp.float32) * inv_dx
+        xt = jnp.asarray(Tm) * scale
+        xd = jnp.asarray(D)
+        xe = jnp.asarray(Q) * scale
+
+    Tm_y, D_y, Q_y, _, _, _, wfold_y = _lane_tables(scheme, ny)
+    T_y = np.ascontiguousarray(np.transpose(Tm_y, (0, 2, 1)))
+    if Q_y is None:
+        Q_y = np.zeros((1, ny), np.float32)
+    scale_y = jnp.asarray(wfold_y, jnp.float32) / jnp.asarray(dy, jnp.float32)
+    yt = jnp.asarray(T_y) * scale_y
+    yd = jnp.asarray(D_y.T)
+    yq = jnp.asarray(Q_y.T) * scale_y
+
+    outx, outy = _call_pair(
+        f3, xt, xd, xe, yt, yd, yq,
+        scheme=scheme, ny=ny, nx=nx, x_fold=x_fold, interpret=interpret,
+    )
+    return outx.reshape(f.shape), outy.reshape(f.shape)

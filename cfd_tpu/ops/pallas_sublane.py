@@ -77,13 +77,49 @@ def _sublane_kernel(
     compute_dtype,
 ):
     """One (n, C) column-block; see module docstring for the step list."""
+    blocks = sublane_roll_blocks(
+        f_ref[0],
+        t_ref,
+        d_ref,
+        q_ref,
+        n=n,
+        nb=nb,
+        scheme=scheme,
+        closure_taps=closure_taps,
+        closure_blocks=closure_blocks,
+        d_nonzero=d_nonzero,
+        wfold=wfold,
+        compute_dtype=compute_dtype,
+    )
+    m = BLOCK
+    for b in range(nb):
+        out_ref[0, m * b : m * (b + 1), :] = blocks[b].astype(out_ref.dtype)
+
+
+def sublane_roll_blocks(
+    f,
+    t_ref,
+    d_ref,
+    q_ref,
+    *,
+    n: int,
+    nb: int,
+    scheme: CompactScheme,
+    closure_taps,
+    closure_blocks,
+    d_nonzero,
+    wfold: float,
+    compute_dtype,
+):
+    """Roll-form compute on a loaded (n, C) tile -> list of nb (m, C)
+    blocks (shared with the fused pair kernel, ops/pallas_pair.py)."""
     m = BLOCK
     dot = functools.partial(
         jnp.dot,
         preferred_element_type=compute_dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    f = f_ref[0].astype(compute_dtype)
+    f = f.astype(compute_dtype)
 
     # 1. first differences + compact RHS as windowed sums of g (sublane rolls)
     g = pltpu.roll(f, n - 1, 0) - f
@@ -119,10 +155,9 @@ def _sublane_kernel(
         corr = t if corr is None else corr + t
 
     # 5. assemble
-    for b in range(nb):
-        sl = slice(m * b, m * (b + 1))
-        blk = xr[b] if corr is None else xr[b] + corr[sl, :]
-        out_ref[0, sl, :] = blk.astype(out_ref.dtype)
+    if corr is None:
+        return xr
+    return [xr[b] + corr[m * b : m * (b + 1), :] for b in range(nb)]
 
 
 def _sublane_fold_kernel(

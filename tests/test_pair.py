@@ -1,0 +1,86 @@
+"""Fused two-axis (dfdx, dfdy) pair kernel vs the float64 oracle.
+
+One HBM read of f producing both minor-axis and second-minor-axis
+derivatives (ops/pallas_pair.py) — the kernel behind the fused gradient
+pipeline (BASELINE.json config 5). Interpret mode on CPU; the real-TPU
+path is exercised by bench/verify runs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cfd_tpu
+from cfd_tpu.oracle import derivative_np
+from cfd_tpu.ops.pallas_pair import gradient_pair, pair_supported
+from cfd_tpu.schemes import (
+    SCHEME4,
+    SCHEME4_D2_PERIODIC,
+    SCHEME4_PERIODIC,
+    SCHEME6,
+    SCHEME6_PERIODIC,
+)
+
+ALL = [SCHEME4, SCHEME4_PERIODIC, SCHEME6, SCHEME6_PERIODIC]
+
+
+@pytest.mark.parametrize("scheme", ALL, ids=[s.name for s in ALL])
+def test_pair_matches_oracle(rng, scheme):
+    f64 = rng.standard_normal((3, 256, 256)) + 0.5
+    f = jnp.asarray(f64, jnp.float32)
+    dy, dx = 0.03, 0.02
+    assert pair_supported(scheme, 256, 256, jnp.float32)
+    gx, gy = gradient_pair(f, dy, dx, scheme, interpret=True)
+    exx = derivative_np(scheme, np.float64(np.float32(f64)), dx, axis=-1)
+    exy = derivative_np(scheme, np.float64(np.float32(f64)), dy, axis=-2)
+    assert np.abs(np.asarray(gx, np.float64) - exx).max() / np.abs(exx).max() < 5e-5
+    assert np.abs(np.asarray(gy, np.float64) - exy).max() / np.abs(exy).max() < 5e-5
+
+
+def test_pair_roll_x_form(rng):
+    """nx = 512 > FOLD_MAX exercises the roll form on the x part."""
+    f64 = rng.standard_normal((2, 256, 512)) + 0.5
+    f = jnp.asarray(f64, jnp.float32)
+    gx, gy = gradient_pair(f, 0.03, 0.02, SCHEME4_PERIODIC, interpret=True)
+    exx = derivative_np(SCHEME4_PERIODIC, np.float64(np.float32(f64)), 0.02, axis=-1)
+    exy = derivative_np(SCHEME4_PERIODIC, np.float64(np.float32(f64)), 0.03, axis=-2)
+    assert np.abs(np.asarray(gx, np.float64) - exx).max() / np.abs(exx).max() < 5e-5
+    assert np.abs(np.asarray(gy, np.float64) - exy).max() / np.abs(exy).max() < 5e-5
+
+
+def test_pair_matches_single_kernels(rng):
+    """Bit-identical block bodies: pair == single-axis kernels exactly."""
+    from cfd_tpu.ops.pallas_lane import lane_derivative
+    from cfd_tpu.ops.pallas_sublane import sublane_derivative
+
+    f = jnp.asarray(rng.standard_normal((2, 256, 256)), jnp.float32)
+    gx, gy = gradient_pair(f, 0.03, 0.02, SCHEME4_PERIODIC, interpret=True)
+    sx = lane_derivative(f, 0.02, SCHEME4_PERIODIC, interpret=True)
+    sy = sublane_derivative(f, 0.03, SCHEME4_PERIODIC, axis=-2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(sx))
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(sy))
+
+
+def test_pair_supported_gates():
+    assert not pair_supported(SCHEME4_D2_PERIODIC, 256, 256, jnp.float32)  # d2
+    assert not pair_supported(SCHEME4_PERIODIC, 256, 200, jnp.float32)  # nx%128
+    assert not pair_supported(SCHEME4_PERIODIC, 1024, 512, jnp.float32)  # VMEM
+    assert not pair_supported(SCHEME4_PERIODIC, 256, 256, jnp.float64)
+    with pytest.raises(ValueError, match="float32"):
+        gradient_pair(jnp.zeros((2, 256, 256)), 1.0, 1.0, SCHEME4_PERIODIC)
+
+
+def test_gradient_uses_pair_equivalence(rng):
+    """gradient() (auto) returns the same values whether or not the pair
+    fusion applies — here on CPU it falls back to pcr; just pin the public
+    API result against the oracle so a future pair integration cannot
+    drift."""
+    f64 = rng.standard_normal((4, 256, 256))
+    f = jnp.asarray(f64, jnp.float32)
+    gx, gy, gz = cfd_tpu.gradient(f, (0.04, 0.03, 0.02), SCHEME4_PERIODIC)
+    for got, axis, d in ((gx, -1, 0.02), (gy, -2, 0.03), (gz, -3, 0.04)):
+        ex = derivative_np(SCHEME4_PERIODIC, np.float64(np.float32(f64)), d, axis=axis)
+        assert (
+            np.abs(np.asarray(got, np.float64) - ex).max() / np.abs(ex).max()
+            < 5e-5
+        )
