@@ -46,6 +46,10 @@ class Derivs:
     dfdy: Callable
     dfdz: Callable
     laplacian: Callable = None
+    # f -> (fx, fy, fz); when set, models evaluate all three first
+    # derivatives through it (single-device: ops.gradient, whose auto path
+    # fuses dfdx+dfdy into one HBM read on TPU — ops/pallas_pair.py)
+    gradient: Callable = None
 
     @classmethod
     def single_device(
@@ -73,6 +77,9 @@ class Derivs:
             dfdy=lambda f: single.dfdy(f, dy, scheme, method=method),
             dfdz=lambda f: single.dfdz(f, dz, scheme, method=method),
             laplacian=lap,
+            gradient=lambda f: single.gradient(
+                f, (dz, dy, dx), scheme, method=method
+            ),
         )
 
     @classmethod
@@ -104,7 +111,10 @@ class AdvectionDiffusion:
     def rhs(self, f, u) -> jax.Array:
         ux, uy, uz = u
         d = self.derivs
-        fx, fy, fz = d.dfdx(f), d.dfdy(f), d.dfdz(f)
+        if d.gradient is not None:
+            fx, fy, fz = d.gradient(f)
+        else:
+            fx, fy, fz = d.dfdx(f), d.dfdy(f), d.dfdz(f)
         adv = ux * fx + uy * fy + uz * fz
         if d.laplacian is not None:
             lap = d.laplacian(f)

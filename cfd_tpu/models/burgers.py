@@ -37,7 +37,10 @@ class Burgers:
         d = self.derivs
         out = []
         for comp in (ux, uy, uz):
-            cx, cy, cz = d.dfdx(comp), d.dfdy(comp), d.dfdz(comp)
+            if d.gradient is not None:
+                cx, cy, cz = d.gradient(comp)
+            else:
+                cx, cy, cz = d.dfdx(comp), d.dfdy(comp), d.dfdz(comp)
             adv = ux * cx + uy * cy + uz * cz
             if d.laplacian is not None:
                 lap = d.laplacian(comp)
