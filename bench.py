@@ -54,7 +54,9 @@ def main():
     # tens of ms for the slope to be trustworthy (~0.17 ms/step x 500 steps
     # = 85 ms of signal).
     k_big = max(96, min(512, int(85e-3 / 0.17e-3)))
-    dt = chain_time(step, f, k_small=8, k_big=k_big, repeats=5)
+    # contention windows last minutes; 8 repeats (~2 min of chains) give a
+    # better chance of catching a quiet window than 5
+    dt = chain_time(step, f, k_small=8, k_big=k_big, repeats=8)
     pts_per_s = n**3 / dt
     # plausibility gate: one read + one write of f32; reads and writes
     # overlap on this chip (duplex — a pure copy of the same 134 MB measures

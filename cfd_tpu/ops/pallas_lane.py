@@ -235,6 +235,61 @@ def _lane_tables(scheme: CompactScheme, n: int):
 
 
 @functools.lru_cache(maxsize=None)
+def d_block_map(scheme: CompactScheme, n: int):
+    """Per-interface-row block support of the faces-to-output map D.
+
+    Each row of D is numerically supported on ~2 of the nb blocks (the
+    unit-load responses uh/lh decay inside their block and the
+    reduced-inverse rows decay across blocks — measured exactly 2 blocks
+    above 1e-12 of the row max for every n up to 2048). Applying the
+    correction only there caps its cost at O(1) FMAs/point for any line
+    length, where the dense form grows as O(nb) — the dominant exposed
+    VPU cost at n >= 512.
+
+    Returns {row k: (block indices)} as a tuple-of-tuples aligned with
+    ``d_nonzero``.
+    """
+    _, D, _, _, _, d_nonzero, _ = _lane_tables(scheme, n)
+    m = BLOCK_LANES
+    nb = n // m
+    bm = np.abs(np.asarray(D, np.float64)).reshape(D.shape[0], nb, m).max(-1)
+    out = []
+    for k in d_nonzero:
+        thresh = 1e-12 * bm[k].max()
+        out.append(tuple(int(b) for b in range(nb) if bm[k, b] > thresh))
+    return tuple(out)
+
+
+def _apply_sparse_corr(xr, d_ref, d_nonzero, d_blocks, nb, m, faces_axis):
+    """Shared sparse interface correction for the lane/sublane bodies.
+
+    ``faces_axis`` = 1 for (R, n) row tiles (lane), 0 for (n, C) column
+    tiles (sublane). Returns the corrected list of blocks.
+    """
+    faces = []
+    for k in d_nonzero:
+        b, e = divmod(k, 2)
+        edge = 0 if e == 0 else m - 1
+        if faces_axis == 1:
+            faces.append(-xr[b][:, edge : edge + 1])  # (R, 1)
+        else:
+            faces.append(-xr[b][edge : edge + 1, :])  # (1, C)
+    out = []
+    for b2 in range(nb):
+        blk = xr[b2]
+        sl = slice(m * b2, m * (b2 + 1))
+        for i, k in enumerate(d_nonzero):
+            if b2 not in d_blocks[i]:
+                continue
+            if faces_axis == 1:
+                blk = blk + faces[i] * d_ref[k : k + 1, sl]
+            else:
+                blk = blk + d_ref[sl, k : k + 1] * faces[i]
+        out.append(blk)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _fold_tables(scheme: CompactScheme, n: int):
     """Fold-form tables (float64 math, truncated to float32 at the end).
 
@@ -288,6 +343,7 @@ def _lane_fold_kernel(
     d_nonzero,
     compute_dtype,
     demean: bool = True,
+    d_blocks=None,
 ):
     """One (R, n) row-block, fold form; see module docstring."""
     blocks = lane_fold_blocks(
@@ -300,6 +356,7 @@ def _lane_fold_kernel(
         d_nonzero=d_nonzero,
         compute_dtype=compute_dtype,
         demean=demean,
+        d_blocks=d_blocks,
     )
     m = BLOCK_LANES
     for b in range(nb):
@@ -317,6 +374,7 @@ def lane_fold_blocks(
     d_nonzero,
     compute_dtype,
     demean: bool = True,
+    d_blocks=None,
 ):
     """Fold-form compute on a loaded (R, n) tile -> list of nb (R, m) blocks.
 
@@ -349,6 +407,10 @@ def lane_fold_blocks(
             ei += 1
         xr.append(x)
 
+    if d_blocks is not None:
+        # sparse form: each D row touches ~2 blocks (d_block_map) — O(1)
+        # FMAs/point at any n, vs O(nb) for the dense sweep below
+        return _apply_sparse_corr(xr, d_ref, d_nonzero, d_blocks, nb, m, 1)
     corr = None
     for k in d_nonzero:
         b, e = divmod(k, 2)
@@ -379,6 +441,7 @@ def _lane_kernel(
     d_nonzero,
     wfold: float,
     compute_dtype,
+    d_blocks=None,
 ):
     """One (R, n) row-block; see module docstring for the step list."""
     blocks = lane_roll_blocks(
@@ -394,6 +457,7 @@ def _lane_kernel(
         d_nonzero=d_nonzero,
         wfold=wfold,
         compute_dtype=compute_dtype,
+        d_blocks=d_blocks,
     )
     m = BLOCK_LANES
     for b in range(nb):
@@ -414,6 +478,7 @@ def lane_roll_blocks(
     d_nonzero,
     wfold: float,
     compute_dtype,
+    d_blocks=None,
 ):
     """Roll-form compute on a loaded (R, n) tile -> list of nb (R, m)
     blocks (see module docstring for the step list; shared with the fused
@@ -450,7 +515,9 @@ def lane_roll_blocks(
         for b in closure_blocks[c]:
             xr[b] = xr[b] + delta * q_ref[c : c + 1, m * b : m * (b + 1)]
 
-    # 4. interface faces -> correction, one FMA per nonzero D row
+    # 4./5. interface faces -> correction + assemble
+    if d_blocks is not None:
+        return _apply_sparse_corr(xr, d_ref, d_nonzero, d_blocks, nb, m, 1)
     corr = None
     for k in d_nonzero:
         b, e = divmod(k, 2)
@@ -459,7 +526,6 @@ def lane_roll_blocks(
         t = face * d_ref[k : k + 1, :]  # (R, n) broadcast-FMA
         corr = t if corr is None else corr + t
 
-    # 5. assemble
     if corr is None:
         return xr
     return [xr[b] + corr[:, m * b : m * (b + 1)] for b in range(nb)]
@@ -488,6 +554,7 @@ def _call_lane_fold(f2, Mt, D, E, *, scheme, n, rows, interpret):
         d_nonzero=d_nonzero,
         compute_dtype=jnp.float32,
         demean=scheme.derivative_order != 0,
+        d_blocks=d_block_map(scheme, n),
     )
     whole = lambda *shape: pl.BlockSpec(
         shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -536,6 +603,7 @@ def _call_lane(f2, Tm, D, Q, *, scheme, n, rows, interpret):
         d_nonzero=d_nonzero,
         wfold=wfold,
         compute_dtype=jnp.float32,
+        d_blocks=d_block_map(scheme, n),
     )
     nc = Q.shape[0]
     whole = lambda *shape: pl.BlockSpec(

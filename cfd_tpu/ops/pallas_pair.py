@@ -43,6 +43,7 @@ from .pallas_lane import (
     FOLD_MAX,
     _fold_tables,
     _lane_tables,
+    d_block_map,
     lane_fold_blocks,
     lane_roll_blocks,
     lane_supported,
@@ -90,7 +91,7 @@ def _pair_kernel(
     f = f_ref[0]
 
     if x_fold:
-        edges_meta, d_nonzero = x_meta
+        edges_meta, d_nonzero, d_blocks = x_meta
         xblocks = lane_fold_blocks(
             f,
             xt_ref,
@@ -100,9 +101,10 @@ def _pair_kernel(
             edges_meta=edges_meta,
             d_nonzero=d_nonzero,
             compute_dtype=compute_dtype,
+            d_blocks=d_blocks,
         )
     else:
-        closure_taps, closure_blocks, d_nonzero, wfold = x_meta
+        closure_taps, closure_blocks, d_nonzero, wfold, d_blocks = x_meta
         xblocks = lane_roll_blocks(
             f,
             xt_ref,
@@ -116,11 +118,12 @@ def _pair_kernel(
             d_nonzero=d_nonzero,
             wfold=wfold,
             compute_dtype=compute_dtype,
+            d_blocks=d_blocks,
         )
     for b in range(nx // m):
         outx_ref[0, :, m * b : m * (b + 1)] = xblocks[b].astype(outx_ref.dtype)
 
-    closure_taps, closure_blocks, d_nonzero, wfold = y_meta
+    closure_taps, closure_blocks, d_nonzero, wfold, d_blocks_y = y_meta
     yblocks = sublane_roll_blocks(
         f,
         yt_ref,
@@ -134,6 +137,7 @@ def _pair_kernel(
         d_nonzero=d_nonzero,
         wfold=wfold,
         compute_dtype=compute_dtype,
+        d_blocks=d_blocks_y,
     )
     for b in range(ny // m):
         outy_ref[0, m * b : m * (b + 1), :] = yblocks[b].astype(outy_ref.dtype)
@@ -147,12 +151,12 @@ def _call_pair(f3, xt, xd, xe, yt, yd, yq, *, scheme, ny, nx, x_fold, interpret)
     if x_fold:
         _, _, edges_meta = _fold_tables(scheme, nx)
         _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, nx)
-        x_meta = (edges_meta, d_nonzero)
+        x_meta = (edges_meta, d_nonzero, d_block_map(scheme, nx))
     else:
         _, _, _, ct, cb, d_nonzero, wfold = _lane_tables(scheme, nx)
-        x_meta = (ct, cb, d_nonzero, wfold)
+        x_meta = (ct, cb, d_nonzero, wfold, d_block_map(scheme, nx))
     _, _, _, cty, cby, d_nonzero_y, wfold_y = _lane_tables(scheme, ny)
-    y_meta = (cty, cby, d_nonzero_y, wfold_y)
+    y_meta = (cty, cby, d_nonzero_y, wfold_y, d_block_map(scheme, ny))
     kernel = functools.partial(
         _pair_kernel,
         nx=nx,

@@ -38,7 +38,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..schemes import CompactScheme
-from .pallas_lane import BLOCK_LANES, FOLD_MAX, _fold_tables, _lane_tables
+from .pallas_lane import (
+    BLOCK_LANES,
+    FOLD_MAX,
+    _apply_sparse_corr,
+    _fold_tables,
+    _lane_tables,
+    d_block_map,
+)
 
 __all__ = ["sublane_derivative", "sublane_supported"]
 
@@ -75,6 +82,7 @@ def _sublane_kernel(
     d_nonzero,
     wfold: float,
     compute_dtype,
+    d_blocks=None,
 ):
     """One (n, C) column-block; see module docstring for the step list."""
     blocks = sublane_roll_blocks(
@@ -90,6 +98,7 @@ def _sublane_kernel(
         d_nonzero=d_nonzero,
         wfold=wfold,
         compute_dtype=compute_dtype,
+        d_blocks=d_blocks,
     )
     m = BLOCK
     for b in range(nb):
@@ -110,6 +119,7 @@ def sublane_roll_blocks(
     d_nonzero,
     wfold: float,
     compute_dtype,
+    d_blocks=None,
 ):
     """Roll-form compute on a loaded (n, C) tile -> list of nb (m, C)
     blocks (shared with the fused pair kernel, ops/pallas_pair.py)."""
@@ -145,7 +155,10 @@ def sublane_roll_blocks(
         for b in closure_blocks[c]:
             xr[b] = xr[b] + q_ref[m * b : m * (b + 1), c : c + 1] * delta
 
-    # 4. interface faces -> correction, one FMA per nonzero D row
+    # 4./5. interface faces -> correction + assemble (sparse: each D row
+    # touches ~2 blocks — see pallas_lane.d_block_map)
+    if d_blocks is not None:
+        return _apply_sparse_corr(xr, d_ref, d_nonzero, d_blocks, nb, m, 0)
     corr = None
     for k in d_nonzero:
         b, e = divmod(k, 2)
@@ -154,7 +167,6 @@ def sublane_roll_blocks(
         t = d_ref[:, k : k + 1] * face  # (n, C) broadcast-FMA
         corr = t if corr is None else corr + t
 
-    # 5. assemble
     if corr is None:
         return xr
     return [xr[b] + corr[m * b : m * (b + 1), :] for b in range(nb)]
@@ -173,6 +185,7 @@ def _sublane_fold_kernel(
     d_nonzero,
     compute_dtype,
     demean: bool = True,
+    d_blocks=None,
 ):
     """One (n, C) column-block, fold form (see ops/pallas_lane.py)."""
     m = BLOCK
@@ -194,18 +207,22 @@ def _sublane_fold_kernel(
             ei += 1
         xr.append(x)
 
-    corr = None
-    for k in d_nonzero:
-        b, e = divmod(k, 2)
-        row = 0 if e == 0 else m - 1
-        face = -xr[b][row : row + 1, :]
-        t = d_ref[:, k : k + 1] * face
-        corr = t if corr is None else corr + t
+    if d_blocks is not None:
+        blocks = _apply_sparse_corr(xr, d_ref, d_nonzero, d_blocks, nb, m, 0)
+    else:
+        corr = None
+        for k in d_nonzero:
+            b, e = divmod(k, 2)
+            row = 0 if e == 0 else m - 1
+            face = -xr[b][row : row + 1, :]
+            t = d_ref[:, k : k + 1] * face
+            corr = t if corr is None else corr + t
+        blocks = xr if corr is None else [
+            xr[b] + corr[m * b : m * (b + 1), :] for b in range(nb)
+        ]
 
     for b in range(nb):
-        sl = slice(m * b, m * (b + 1))
-        blk = xr[b] if corr is None else xr[b] + corr[sl, :]
-        out_ref[0, sl, :] = blk.astype(out_ref.dtype)
+        out_ref[0, m * b : m * (b + 1), :] = blocks[b].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scheme", "n", "cols", "interpret"))
@@ -222,6 +239,7 @@ def _call_sublane_fold(f3, M, Dt, Et, *, scheme, n, cols, interpret):
         d_nonzero=d_nonzero,
         compute_dtype=jnp.float32,
         demean=scheme.derivative_order != 0,
+        d_blocks=d_block_map(scheme, n),
     )
     whole = lambda *shape: pl.BlockSpec(
         shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -279,6 +297,7 @@ def _call_sublane(f3, T, Dt, Qt, *, scheme, n, cols, interpret):
         d_nonzero=d_nonzero,
         wfold=wfold,
         compute_dtype=jnp.float32,
+        d_blocks=d_block_map(scheme, n),
     )
     nc = Qt.shape[1]
     whole = lambda *shape: pl.BlockSpec(
