@@ -579,13 +579,29 @@ def curl(
     *,
     method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """curl(u) for a 3-component vector field (ux, uy, uz)."""
+    """curl(u) for a 3-component vector field (ux, uy, uz).
+
+    The z-component's two derivatives (duz/dx, duz/dy) are exactly the
+    fused pair kernel's output, so on TPU the auto path reads uz once.
+    """
     ux, uy, uz = u
     dz, dy, dx = _spacings3(spacing)
-    duz_dy = dfdy(uz, dy, scheme, method=method)
+    duz_dx = duz_dy = None
+    if (
+        method == "auto"
+        and uz.ndim >= 3
+        and uz.dtype in (jnp.float32, jnp.bfloat16)
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_pair import gradient_pair, pair_supported
+
+        if pair_supported(scheme, uz.shape[-2], uz.shape[-1], uz.dtype):
+            duz_dx, duz_dy = gradient_pair(uz, dy, dx, scheme)
+    if duz_dx is None:
+        duz_dy = dfdy(uz, dy, scheme, method=method)
+        duz_dx = dfdx(uz, dx, scheme, method=method)
     duy_dz = dfdz(uy, dz, scheme, method=method)
     dux_dz = dfdz(ux, dz, scheme, method=method)
-    duz_dx = dfdx(uz, dx, scheme, method=method)
     duy_dx = dfdx(uy, dx, scheme, method=method)
     dux_dy = dfdy(ux, dy, scheme, method=method)
     return (duz_dy - duy_dz, dux_dz - duz_dx, duy_dx - dux_dy)
