@@ -87,3 +87,79 @@ def test_periodic_spectral_accuracy(order):
     df = derivative_np(scheme, np.sin(x), dx)
     err = np.max(np.abs(df - np.cos(x)))
     assert err < (1e-6 if order == 4 else 1e-9)
+
+
+def test_modified_wavenumber_first_derivative():
+    """k'(k) matches the measured spectral response of the actual solver,
+    approaches k at low k with the scheme's order, and Lele's published
+    resolving efficiencies are reproduced."""
+    import math
+
+    import jax.numpy as jnp
+
+    import cfd_tpu
+    from cfd_tpu.schemes import (
+        SCHEME4_PERIODIC,
+        SCHEME6_PERIODIC,
+        modified_wavenumber,
+        resolving_efficiency,
+    )
+
+    n = 128
+    dx = 2 * math.pi / n
+    x = np.arange(n) * dx
+    for scheme in (SCHEME4_PERIODIC, SCHEME6_PERIODIC):
+        for m in (1, 5, 20, 50):
+            f = jnp.asarray(np.sin(m * x)[None, None, :])
+            df = np.asarray(cfd_tpu.dfdx(f, dx, scheme, method="pcr"))[0, 0]
+            # df = (k'/dx) cos(mx); amplitude read at x=0
+            amp = df[0] * dx
+            kp = float(modified_wavenumber(scheme, np.asarray([m * dx]))[0])
+            np.testing.assert_allclose(amp, kp, rtol=1e-9)
+        # low-k error scales with the scheme's order
+        k = np.asarray([0.1, 0.2])
+        err = np.abs(modified_wavenumber(scheme, k) - k)
+        rate = np.log2(err[1] / err[0])
+        assert abs(rate - (scheme.order + 1)) < 0.2, (scheme.name, rate)
+    # Lele 1992 table: 4th-order Pade resolves ~28%, 6th-order ~44% at 1%
+    e4 = resolving_efficiency(SCHEME4_PERIODIC)
+    e6 = resolving_efficiency(SCHEME6_PERIODIC)
+    assert 0.2 < e4 < 0.4 and 0.35 < e6 < 0.55 and e6 > e4, (e4, e6)
+
+
+def test_transfer_function_d2_and_filter():
+    import math
+
+    import jax.numpy as jnp
+
+    import cfd_tpu
+    from cfd_tpu.schemes import (
+        SCHEME4_D2_PERIODIC,
+        get_filter,
+        modified_wavenumber,
+        transfer_function,
+    )
+
+    n = 128
+    dx = 2 * math.pi / n
+    x = np.arange(n) * dx
+    # d2: solver response equals -k''/dx^2
+    for m in (1, 10, 40):
+        f = jnp.asarray(np.sin(m * x)[None, None, :])
+        d2 = np.asarray(
+            cfd_tpu.d2fdx2(f, dx, SCHEME4_D2_PERIODIC, method="pcr")
+        )[0, 0]
+        # the scheme multiplies exp(ikx/dx) by -k''/dx^2: d2 sin = -k''/dx^2 sin
+        kpp = float(
+            transfer_function(SCHEME4_D2_PERIODIC, np.asarray([m * dx]))[0]
+        )
+        np.testing.assert_allclose(d2, -kpp / dx**2 * np.sin(m * x), atol=1e-9)
+        assert kpp > 0 and abs(kpp - (m * dx) ** 2) < 0.1 * (m * dx) ** 2 + 1e-6
+    # filter: G(0)=1, G(pi)=0, monotone on [0, pi]
+    sch = get_filter(6, 0.45, True)
+    k = np.linspace(0, np.pi, 512)
+    G = transfer_function(sch, k)
+    assert abs(G[0] - 1) < 1e-12 and abs(G[-1]) < 1e-12
+    assert np.all(np.diff(G) <= 1e-12) and np.all(G > -1e-12)
+    with pytest.raises(ValueError, match="gain"):
+        modified_wavenumber(sch, k)
