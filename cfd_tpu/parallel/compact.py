@@ -499,6 +499,28 @@ class DistributedCompactSolver:
         )
         return fn(f, *arrays)
 
+    def apply(self, f: jax.Array, axis: int = 2) -> jax.Array:
+        """Apply the grid's scheme along ``axis`` (0=z, 1=y, 2=x).
+
+        The generic entry point: for first-derivative schemes this is
+        dfdx/dfdy/dfdz; for derivative_order=2 schemes it is the second
+        derivative; for filter schemes (schemes.get_filter) it applies the
+        distributed compact filter — same halo exchange and substructured
+        solve in every case.
+        """
+        return self._derivative(f, axis)
+
+    def filter_field(self, f: jax.Array) -> jax.Array:
+        """Filter along all three axes (requires a filter-scheme grid)."""
+        if self.grid.scheme.derivative_order != 0:
+            raise ValueError(
+                f"grid scheme {self.grid.scheme.name!r} is not a filter; "
+                "build the Grid with schemes.get_filter(...)"
+            )
+        for axis in (2, 1, 0):
+            f = self._derivative(f, axis)
+        return f
+
     def dfdx(self, f: jax.Array) -> jax.Array:
         return self._derivative(f, 2)
 

@@ -153,3 +153,26 @@ def test_fold_kernels_filter(rng):
             sublane_derivative(f3, 1.0, sch, axis=0, interpret=True)
         )[:, :, 0].T
         assert np.abs(got_s - ex).max() / np.abs(ex).max() < 5e-6
+
+
+def test_distributed_filter_field_all_axes(rng):
+    from cfd_tpu.parallel import Grid, make_mesh
+
+    n = 32
+    sch = get_filter(4, 0.45, True)
+    f = rng.standard_normal((n, n, n))
+    mesh = make_mesh((2, 2, 2))
+    grid = Grid(mesh, (n, n, n), (1.0, 1.0, 1.0), sch)
+    solver = cfd_tpu.DistributedCompactSolver(grid)
+    got = np.asarray(grid.gather(solver.filter_field(grid.distribute(jnp.asarray(f)))))
+    ex = np.asarray(cfd_tpu.filter_field(jnp.asarray(f), sch))
+    np.testing.assert_allclose(got, ex, atol=1e-10)
+    # apply() is the generic per-axis entry
+    got1 = np.asarray(grid.gather(solver.apply(grid.distribute(jnp.asarray(f)), 1)))
+    ex1 = np.asarray(cfd_tpu.filter_field(jnp.asarray(f), sch, axis=-2))
+    np.testing.assert_allclose(got1, ex1, atol=1e-10)
+    # non-filter grids refuse filter_field
+    grid_d = Grid(mesh, (n, n, n), (1.0, 1.0, 1.0), cfd_tpu.SCHEME4_PERIODIC)
+    sd = cfd_tpu.DistributedCompactSolver(grid_d)
+    with pytest.raises(ValueError, match="not a filter"):
+        sd.filter_field(grid_d.distribute(jnp.asarray(f)))
