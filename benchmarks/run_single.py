@@ -36,6 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+# the env var alone does not activate the persistent compile cache on
+# this runtime; the config update does (compiles are 30-60 s through the
+# remote-compile tunnel, so cache hits matter)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", ""),
+)
 import numpy as np
 
 import cfd_tpu
