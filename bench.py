@@ -66,13 +66,14 @@ def main():
     # better chance of catching a quiet window than 5
     dt = chain_time(step, f, k_small=8, k_big=k_big, repeats=8)
     pts_per_s = n**3 / dt
-    # plausibility gate: one read + one write of f32; reads and writes
-    # overlap on this chip (duplex — a pure copy of the same 134 MB measures
-    # 0.12-0.158 ms), so the ceiling is ~2x0.82 TB/s aggregate ≈ 205 Gpt/s;
-    # anything above it is a measurement artifact, not a kernel
-    roofline = 2 * 0.82e12 / (4 + 4)
+    # plausibility gate: one read + one write of f32 against the v5e HBM
+    # aggregate spec (819 GB/s shared by reads and writes — the round-2
+    # "duplex" 2x widening was unjustified; see spec_roofline_pts_per_s)
+    from cfd_tpu.utils.timing import spec_roofline_pts_per_s
+
+    roofline = spec_roofline_pts_per_s(f.dtype.itemsize)
     assert pts_per_s < 1.25 * roofline, (
-        f"implausible throughput {pts_per_s:.3e} pts/s > duplex HBM roofline "
+        f"implausible throughput {pts_per_s:.3e} pts/s > HBM spec roofline "
         f"{roofline:.3e} — timing artifact?"
     )
     baseline = 191e6  # points/s per GPU, 256^3 on 8 GPUs (BASELINE.md)

@@ -42,9 +42,7 @@ from cfd_tpu.config import Config
 from cfd_tpu.models import benchmark_field
 from cfd_tpu.utils.timing import chain_time
 
-# reads and writes overlap (duplex: a pure copy of 134 MB measures
-# 0.12-0.158 ms), so the f32 ceiling is ~2x0.82 TB/s aggregate
-ROOFLINE_PTS_PER_S = 2 * 0.82e12 / 8
+from cfd_tpu.utils.timing import spec_roofline_pts_per_s
 
 
 def main():
@@ -81,14 +79,15 @@ def main():
 
     t = chain_time(solver.dfdx, fj, k_small=2, k_big=18, repeats=3)
     npts = nz * ny * nx
-    if npts / t > 1.25 * ROOFLINE_PTS_PER_S * math.prod(cfg.mesh_shape):
+    roofline = spec_roofline_pts_per_s(jnp.dtype(cfg.jax_dtype).itemsize)
+    if npts / t > 1.25 * roofline * math.prod(cfg.mesh_shape):
         # physically impossible — a collapsed chain delta (relay
         # memoization / dispatch jitter); record the raw number for
         # forensics but make no throughput claim
         row["raw_ms"] = round(t * 1e3, 6)
         row["suspect"] = True
         row["suspect_reason"] = (
-            "above duplex-HBM roofline: timing artifact, no throughput claimed"
+            "above HBM spec roofline: timing artifact, no throughput claimed"
         )
     else:
         row["ms"] = round(t * 1e3, 4)

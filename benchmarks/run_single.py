@@ -17,9 +17,10 @@ Every row passes two gates before it is recorded:
   derivative rows check against the analytic gradient of the reference's
   benchmark field; a row that fails is recorded with ``"gate": "failed"``
   and no timing.
-* plausibility — throughput above the duplex-HBM roofline (~205 Gpt/s for
-  one f32 read + one write) is a measurement artifact, recorded as
-  ``"suspect": true`` (round 1 committed a 2.6e8 Gpt/s row; never again).
+* plausibility — throughput above the HBM spec roofline (819 GB/s aggregate
+  on v5e; ~102 Gpt/s for one f32 read + one write, dtype-scaled) is a
+  measurement artifact, recorded as ``"suspect": true`` (round 1 committed
+  a 2.6e8 Gpt/s row; never again).
 """
 
 import argparse
@@ -52,22 +53,24 @@ from cfd_tpu.ops.pallas_fused import solve_lines_pallas
 from cfd_tpu.schemes import SCHEME4, lhs_bands
 from cfd_tpu.utils.timing import chain_time
 
-# one f32 read + one f32 write; reads and writes overlap (duplex: a pure
-# copy of 134 MB measures 0.12-0.158 ms), so the ceiling is ~2x0.82 TB/s
-# aggregate ~= 205 Gpt/s
-ROOFLINE_PTS_PER_S = 2 * 0.82e12 / 8
+from cfd_tpu.utils.timing import spec_roofline_pts_per_s
+
+# one read + one write against the v5e aggregate HBM spec (819 GB/s shared
+# by reads and writes; the round-2 2x "duplex" widening was unjustified —
+# see cfd_tpu.utils.timing.spec_roofline_pts_per_s). dtype-aware: bf16 rows
+# get a 2x higher points/s ceiling because they move half the bytes.
 NOISE_FLOOR_MS = 0.02  # chain deltas below this are dispatch noise
 
 
-def _emit(results, row, t=None, npts=None):
+def _emit(results, row, t=None, npts=None, itemsize=4):
     if t is not None:
-        if npts / t > 1.25 * ROOFLINE_PTS_PER_S:
+        if npts / t > 1.25 * spec_roofline_pts_per_s(itemsize):
             # Physically impossible — the chain delta collapsed (relay
             # memoization / constant folding). Record the raw delta for
             # forensics but no throughput claim.
             row["raw_ms"] = round(t * 1e3, 4)
             row["suspect"] = True
-            row["suspect_reason"] = "above duplex-HBM roofline: timing artifact, no throughput claimed"
+            row["suspect_reason"] = "above HBM spec roofline: timing artifact, no throughput claimed"
         else:
             row["ms"] = round(t * 1e3, 4)
             row["gpts_per_s"] = round(npts / t / 1e9, 3)

@@ -5,9 +5,12 @@ A compact-FD "model" in the PDE sense: advances
     df/dt = -(u . grad f) + nu * laplacian(f)
 
 with RK3 (Williamson low-storage) time stepping, where every spatial
-derivative is a compact derivative from this package (the Laplacian is a
-repeated first derivative, as the reference library only provides first
-derivatives). This is the end-to-end workload used by ``__graft_entry__``
+derivative is a compact derivative from this package. The diffusion term
+uses the compact second-derivative ``laplacian`` when the ``Derivs``
+bundle carries one (the default in the entry points — beyond the
+reference, whose library only provides first derivatives) and falls back
+to a repeated first derivative otherwise, which is the reference-parity
+form. This is the end-to-end workload used by ``__graft_entry__``
 and the benchmarks: it chains many derivative evaluations per step, which
 is exactly the production shape (CFD RHS evaluations) the reference's
 multi-GPU harness approximates with repeated dfdx calls

@@ -530,17 +530,20 @@ def gradient(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(df/dx, df/dy, df/dz) of a scalar field ``[..., nz, ny, nx]``.
 
-    ``spacing`` is a scalar or (dz, dy, dx). On TPU, f32/bf16 'auto' runs
+    ``spacing`` is a scalar or (dz, dy, dx). On TPU, f32 'auto' runs
     the fused two-axis pair kernel for (dfdx, dfdy) — one HBM read of f
     instead of two (ops/pallas_pair.py; measured 3-10% on the full
     3-derivative pipeline at 256^3 — the single kernels already run past
     the DMA floor, so read-sharing buys modest, not 25%, wall-clock).
+    bf16 fields skip the pair kernel: its f32-internal HIGHEST dots are a
+    pure tax there, and the single-pass bf16 matmul path is ~3.5x faster
+    per op than what the one saved read could recover.
     """
     dz, dy, dx = _spacings3(spacing)
     if (
         method == "auto"
         and f.ndim >= 3
-        and f.dtype in (jnp.float32, jnp.bfloat16)
+        and f.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     ):
         from .pallas_pair import gradient_pair, pair_supported
@@ -582,7 +585,9 @@ def curl(
     """curl(u) for a 3-component vector field (ux, uy, uz).
 
     The z-component's two derivatives (duz/dx, duz/dy) are exactly the
-    fused pair kernel's output, so on TPU the auto path reads uz once.
+    fused pair kernel's output, so on TPU the f32 auto path reads uz once
+    (bf16 routes through the faster single-pass matmul ops instead — see
+    ``gradient``).
     """
     ux, uy, uz = u
     dz, dy, dx = _spacings3(spacing)
@@ -590,7 +595,7 @@ def curl(
     if (
         method == "auto"
         and uz.ndim >= 3
-        and uz.dtype in (jnp.float32, jnp.bfloat16)
+        and uz.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     ):
         from .pallas_pair import gradient_pair, pair_supported

@@ -315,8 +315,10 @@ def get_filter(
 
     Filters are ``derivative_order=0`` schemes: no spacing scale, the
     symmetric RHS form, and every solver backend/oracle/distributed path of
-    this package applies unchanged (the lane/sublane fast kernels refuse
-    them, exactly as they refuse d2 schemes).
+    this package applies unchanged — including the lane/sublane fold
+    kernels, whose table-driven form serves filters and d2 schemes at
+    n <= FOLD_MAX (ops/pallas_lane.py routing); only the roll-form fast
+    paths are first-derivative-specific.
     """
     if not -0.5 < alpha < 0.5:
         raise ValueError(f"filter alpha must be in (-0.5, 0.5), got {alpha}")
@@ -409,6 +411,11 @@ def resolving_efficiency(scheme: CompactScheme, tol: float = 0.01) -> float:
     tracks the exact one within ``tol`` relative error (Lele's resolving-
     efficiency metric; e.g. ~0.57 for the 6th-order tridiagonal first
     derivative at tol=0.01)."""
+    if scheme.derivative_order == 0:
+        raise ValueError(
+            "filters have a gain G(k), not a modified wavenumber; "
+            "resolving_efficiency applies to derivative schemes only"
+        )
     k = np.linspace(1e-6, np.pi, 4096)
     got = transfer_function(scheme, k)
     exact = k if scheme.derivative_order == 1 else k**2

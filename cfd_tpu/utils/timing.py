@@ -22,7 +22,27 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chain_time", "phase_timer"]
+__all__ = ["chain_time", "phase_timer", "spec_roofline_pts_per_s", "HBM_BW_BYTES_PER_S"]
+
+# Aggregate HBM bandwidth spec of the benched chip (TPU v5e / "TPU v5 lite":
+# 819 GB/s total — reads and writes SHARE this budget; there is no separate
+# per-direction figure, so "duplex" 2x ceilings are unphysical). Used by the
+# benchmark harnesses' plausibility gates: a measured streaming throughput
+# meaningfully above this is a timing artifact (collapsed chain / relay
+# memoization), not a kernel.
+HBM_BW_BYTES_PER_S = 0.82e12
+
+
+def spec_roofline_pts_per_s(itemsize: int = 4) -> float:
+    """Spec-bandwidth ceiling (points/s) for a one-read + one-write
+    streaming op whose elements are ``itemsize`` bytes (f32: 4, bf16: 2).
+
+    Replaces the round-2 "duplex" 2x gate: the chain-slope copy measurement
+    that motivated it (134 MB round trip in 0.12-0.158 ms, implying
+    1.7-2.2 TB/s on an 819 GB/s part) is itself physically impossible and
+    therefore an instance of the artifact class the gate exists to catch.
+    """
+    return HBM_BW_BYTES_PER_S / (2 * itemsize)
 
 
 def _build_chain(step: Callable, k: int):
