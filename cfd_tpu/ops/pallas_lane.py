@@ -342,7 +342,7 @@ def _lane_fold_kernel(
     edges_meta,
     d_nonzero,
     compute_dtype,
-    demean: bool = True,
+    demean="block",
     d_blocks=None,
 ):
     """One (R, n) row-block, fold form; see module docstring."""
@@ -373,7 +373,7 @@ def lane_fold_blocks(
     edges_meta,
     d_nonzero,
     compute_dtype,
-    demean: bool = True,
+    demean="block",
     d_blocks=None,
 ):
     """Fold-form compute on a loaded (R, n) tile -> list of nb (R, m) blocks.
@@ -389,21 +389,49 @@ def lane_fold_blocks(
         precision=jax.lax.Precision.HIGHEST,
     )
     f = f.astype(compute_dtype)
-    if demean:
-        # derivative B annihilates constants; subtracting the mean spends
-        # the f32 mantissa on the fluctuation instead (20x accuracy, ~2%
-        # time — module docstring). Filters (order 0) must NOT demean:
-        # their B preserves constants.
+    # Demeaning: derivative B annihilates constants, so any constant may be
+    # subtracted before the folded dot — in f32 this spends the mantissa on
+    # the fluctuation instead of the O(1) offset (20x accuracy at n=256 —
+    # module docstring). Filters (order 0) must NOT demean: their B
+    # preserves constants.
+    #
+    # 'block' subtracts each 128-lane block's own mean from that block's
+    # columns AND from the edge lanes its operator couples in. This is
+    # exact for the same reason the line mean is: row i of B is supported
+    # on exactly the in-block + edge columns the fold computes, and sums
+    # to zero over them. The payoff is the *scale* of the residual: the
+    # line-demeaned fluctuation is O(1) for a smooth field spanning the
+    # domain, so the folded dot's rounding is O(eps)/O(dx f') ~ n and the
+    # fold form had to stop at FOLD_MAX=256; the block-demeaned residual
+    # is O(m dx f') — proportional to the output scale — making the
+    # relative error n-independent (measured: 1.2e-6 at 256 through 2048,
+    # where 'line' grows 1.3e-6 -> 8e-5).
+    if demean == "line":
         fc = f - jnp.mean(f, axis=1, keepdims=True)
+        mus = None
+    elif demean:  # 'block' (default for derivative schemes)
+        fc = f
+        mus = [
+            jnp.mean(f[:, m * b : m * (b + 1)], axis=1, keepdims=True)
+            for b in range(nb)
+        ]
     else:
         fc = f
+        mus = None
 
     xr = []
     ei = 0
     for b in range(nb):
-        x = dot(fc[:, m * b : m * (b + 1)], t_ref[b])
+        mu = mus[b] if mus is not None else None
+        fb = fc[:, m * b : m * (b + 1)]
+        if mu is not None:
+            fb = fb - mu
+        x = dot(fb, t_ref[b])
         for j in edges_meta[b]:
-            x = x + fc[:, j : j + 1] * e_ref[ei : ei + 1, m * b : m * (b + 1)]
+            fj = fc[:, j : j + 1]
+            if mu is not None:
+                fj = fj - mu
+            x = x + fj * e_ref[ei : ei + 1, m * b : m * (b + 1)]
             ei += 1
         xr.append(x)
 
@@ -540,12 +568,16 @@ def _pick_rows(n: int, itemsize: int) -> int:
     return r
 
 
-@functools.partial(jax.jit, static_argnames=("scheme", "n", "rows", "interpret"))
-def _call_lane_fold(f2, Mt, D, E, *, scheme, n, rows, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("scheme", "n", "rows", "interpret", "demean")
+)
+def _call_lane_fold(f2, Mt, D, E, *, scheme, n, rows, interpret, demean=None):
     B = f2.shape[0]
     nb = n // BLOCK_LANES
     _, _, edges_meta = _fold_tables(scheme, n)
     _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, n)
+    if demean is None:
+        demean = "block" if scheme.derivative_order != 0 else False
     kernel = functools.partial(
         _lane_fold_kernel,
         n=n,
@@ -553,7 +585,7 @@ def _call_lane_fold(f2, Mt, D, E, *, scheme, n, rows, interpret):
         edges_meta=edges_meta,
         d_nonzero=d_nonzero,
         compute_dtype=jnp.float32,
-        demean=scheme.derivative_order != 0,
+        demean=demean,
         d_blocks=d_block_map(scheme, n),
     )
     whole = lambda *shape: pl.BlockSpec(
@@ -645,6 +677,7 @@ def lane_derivative(
     rows: int = None,
     interpret: bool = False,
     fold: bool = None,
+    demean=None,
 ) -> jax.Array:
     """Compact derivative along the last axis of ``f`` (..., n), fused.
 
@@ -698,6 +731,7 @@ def lane_derivative(
             n=n,
             rows=rows,
             interpret=interpret,
+            demean=demean,
         )
     else:
         Tm, D, Q, _, _, _, wfold = _lane_tables(scheme, n)

@@ -83,10 +83,11 @@ def _sublane_kernel(
     wfold: float,
     compute_dtype,
     d_blocks=None,
+    squeezed: bool = False,
 ):
     """One (n, C) column-block; see module docstring for the step list."""
     blocks = sublane_roll_blocks(
-        f_ref[0],
+        f_ref[:] if squeezed else f_ref[0],
         t_ref,
         d_ref,
         q_ref,
@@ -102,7 +103,11 @@ def _sublane_kernel(
     )
     m = BLOCK
     for b in range(nb):
-        out_ref[0, m * b : m * (b + 1), :] = blocks[b].astype(out_ref.dtype)
+        blk = blocks[b].astype(out_ref.dtype)
+        if squeezed:
+            out_ref[m * b : m * (b + 1), :] = blk
+        else:
+            out_ref[0, m * b : m * (b + 1), :] = blk
 
 
 def sublane_roll_blocks(
@@ -186,6 +191,7 @@ def _sublane_fold_kernel(
     compute_dtype,
     demean: bool = True,
     d_blocks=None,
+    squeezed: bool = False,
 ):
     """One (n, C) column-block, fold form (see ops/pallas_lane.py)."""
     m = BLOCK
@@ -194,7 +200,7 @@ def _sublane_fold_kernel(
         preferred_element_type=compute_dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    f = f_ref[0].astype(compute_dtype)
+    f = (f_ref[:] if squeezed else f_ref[0]).astype(compute_dtype)
     # filters (order 0) must not demean: their B preserves constants
     fc = f - jnp.mean(f, axis=0, keepdims=True) if demean else f
 
@@ -222,12 +228,80 @@ def _sublane_fold_kernel(
         ]
 
     for b in range(nb):
-        out_ref[0, m * b : m * (b + 1), :] = blocks[b].astype(out_ref.dtype)
+        blk = blocks[b].astype(out_ref.dtype)
+        if squeezed:
+            out_ref[m * b : m * (b + 1), :] = blk
+        else:
+            out_ref[0, m * b : m * (b + 1), :] = blk
+
+
+def _sublane_pallas(kernel, f3, tables, *, n, cols, interpret):
+    """Dispatch a sublane kernel over (B, n, L): one (n, cols) tile per step.
+
+    A grid dimension of extent 1 is never emitted: B == 1 (the dfdz case —
+    one logical (n, L) plane) collapses to a 1-D grid over the column
+    tiles. Measured on v5e at 256^3: the 2-D grid (1, L/cols) runs the
+    identical kernel body at 0.41-0.45 ms where the 1-D grid runs 0.237 ms
+    — a degenerate leading grid dimension defeats Pallas's pipelining, and
+    was the entire "dfdz is the weak axis" gap of round 2.
+    """
+    B, _, L = f3.shape
+    est = dict(
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * B * L,
+            bytes_accessed=2 * n * B * L * f3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    if B == 1:
+        whole = lambda *shape: pl.BlockSpec(
+            shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(kernel, squeezed=True),
+            out_shape=jax.ShapeDtypeStruct((n, L), f3.dtype),
+            grid=(L // cols,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n, cols), lambda j: (0, j), memory_space=pltpu.VMEM
+                )
+            ]
+            + [whole(*t.shape) for t in tables],
+            out_specs=pl.BlockSpec(
+                (n, cols), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            **est,
+        )(f3[0], *tables)
+        return out[None]
+    whole = lambda *shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, squeezed=False),
+        out_shape=jax.ShapeDtypeStruct((B, n, L), f3.dtype),
+        grid=(B, L // cols),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            )
+        ]
+        + [whole(*t.shape) for t in tables],
+        out_specs=pl.BlockSpec(
+            (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        **est,
+    )(f3, *tables)
 
 
 @functools.partial(jax.jit, static_argnames=("scheme", "n", "cols", "interpret"))
 def _call_sublane_fold(f3, M, Dt, Et, *, scheme, n, cols, interpret):
-    B, _, L = f3.shape
     nb = n // BLOCK
     _, _, edges_meta = _fold_tables(scheme, n)
     _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, n)
@@ -241,34 +315,9 @@ def _call_sublane_fold(f3, M, Dt, Et, *, scheme, n, cols, interpret):
         demean=scheme.derivative_order != 0,
         d_blocks=d_block_map(scheme, n),
     )
-    whole = lambda *shape: pl.BlockSpec(
-        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    return _sublane_pallas(
+        kernel, f3, (M, Dt, Et), n=n, cols=cols, interpret=interpret
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, n, L), f3.dtype),
-        grid=(B, L // cols),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-            ),
-            whole(nb, BLOCK, BLOCK),
-            whole(n, Dt.shape[1]),
-            whole(n, Et.shape[1]),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * n * B * L,
-            bytes_accessed=2 * n * B * L * f3.dtype.itemsize,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        ),
-        interpret=interpret,
-    )(f3, M, Dt, Et)
 
 
 def _pick_cols(n: int, itemsize: int) -> int:
@@ -282,7 +331,6 @@ def _pick_cols(n: int, itemsize: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("scheme", "n", "cols", "interpret"))
 def _call_sublane(f3, T, Dt, Qt, *, scheme, n, cols, interpret):
-    B, _, L = f3.shape
     nb = n // BLOCK
     _, _, _, closure_taps, closure_blocks, d_nonzero, wfold = _lane_tables(
         scheme, n
@@ -299,37 +347,9 @@ def _call_sublane(f3, T, Dt, Qt, *, scheme, n, cols, interpret):
         compute_dtype=jnp.float32,
         d_blocks=d_block_map(scheme, n),
     )
-    nc = Qt.shape[1]
-    whole = lambda *shape: pl.BlockSpec(
-        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    return _sublane_pallas(
+        kernel, f3, (T, Dt, Qt), n=n, cols=cols, interpret=interpret
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, n, L), f3.dtype),
-        grid=(B, L // cols),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-            ),
-            whole(nb, BLOCK, BLOCK),
-            whole(n, 2 * nb),
-            whole(n, nc),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n, cols), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-        ),
-        # memory-biased estimate: the K=128 dots hide behind the HBM DMA
-        # (measured on the lane kernel; same schedule shape here)
-        cost_estimate=pl.CostEstimate(
-            flops=8 * n * B * L,
-            bytes_accessed=2 * n * B * L * f3.dtype.itemsize,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        ),
-        interpret=interpret,
-    )(f3, T, Dt, Qt)
 
 
 def sublane_derivative(
