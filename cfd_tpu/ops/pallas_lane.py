@@ -23,31 +23,38 @@ f, one write of f' — is 0.12-0.16 ms depending on chip load):
   0.240 ms (100 vs 70 Gpt/s) at 256^3 — at an accuracy price (next rule),
   so the kernel ships both forms: ``fold`` for short lines, rolls beyond.
 * **Folding the O(1/dx) stencil into the matmul costs smooth-field digits
-  that grow with n.** On smooth fields the exact stencil cancels to
-  O(dx f'), but the folded dot's rounding doesn't: measured (mean-
-  subtracted, stress field) 1.3e-6 rel at n=256 — on par with the dense
-  matmul path — then ~n/256 growth: 7e-6 at 384, 2e-5 at 512, 8e-5 at
-  2048. Rough fields don't pay it (no smoothness to cancel). Hence
-  ``_FOLD_MAX = 256``: the fold form serves the n=256 headline; longer
-  lines keep the roll form, whose ``f[i+k] - f[i-k]`` differences are
-  exact in f32 and n-independent (~1e-6).
-* **Mean subtraction is mandatory in the fold form.** Every row of B
-  annihilates constants (closures included), so ``B f = B (f - mean(f))``
-  exactly — but in f32 the O(1) mean costs 20x accuracy at n=256
-  (2.4e-5 vs 1.3e-6 measured) and the two extra VPU passes are ~2% of
-  kernel time.
+  that grow with n — unless the demeaned residual tracks the output
+  scale.** On smooth fields the exact stencil cancels to O(dx f'), but
+  the folded dot's rounding is relative to the operand magnitude. With a
+  full-*line* mean subtracted the residual stays O(1) while the output
+  shrinks like dx, so the relative error grew ~n/256 (1.3e-6 at 256 ->
+  5.2e-5 at 2048) and round 2 capped the fold at ``FOLD_MAX``. Round 3's
+  **per-block demean** (see next rule) keeps the residual at
+  O(block-extent x f') and cuts the n=2048 error 4.3x (1.2e-5); rough
+  fields never paid the penalty. The roll form's ``f[i+k] - f[i-k]``
+  differences remain the most accurate (n-independent ~1e-6), so the
+  fold/roll routing is now purely a speed choice.
+* **Demeaning is mandatory in the fold form, and per-block is both exact
+  and better-conditioned.** Every row of B annihilates constants
+  (closures included), and row i of B is supported on exactly the
+  in-block + edge columns block b's fold reads — so subtracting *block
+  b's own mean* from those reads leaves the result unchanged while
+  spending the f32 mantissa on the local fluctuation. Skipping demeaning
+  entirely costs 20x at n=256 (2.4e-5 vs 1.3e-6 measured); the extra VPU
+  passes are ~2% of kernel time. Filters (order 0) must NOT demean.
 * **Every per-line scalar must be a functional of local differences**
   (roll form). Closure deltas built from f lose a factor O(n) to f's O(1)
   mean (measured 2e-5 at the boundary lane at n=1024); built from the
   first differences ``g[i] = f[i+1] - f[i]`` they are n-independent ~1e-6.
 
-**Fold form** (n <= ``_FOLD_MAX``), per (R, n) row-block:
+**Fold form** (auto for n <= ``FOLD_MAX``; any n on request), per (R, n)
+row-block:
 
-1. ``fc = f - mean(f)`` (lane reduction)                          (VPU)
-2. ``xr_b = fc_b @ (M_b^T / dx)`` with ``M_b = T_b^{-1} B_bb``
+1. ``mu_b = mean(f_b)`` per 128-lane block (lane reduction)       (VPU)
+2. ``xr_b = (f_b - mu_b) @ (M_b^T / dx)`` with ``M_b = T_b^{-1} B_bb``
    per 128-lane block                                        (MXU, K=128)
-3. ``xr_b += fc[:, j] x col_{b,j}`` for each edge lane j of the
-   neighbouring blocks that B couples in (bandwidth many per side;
+3. ``xr_b += (f[:, j] - mu_b) x col_{b,j}`` for each edge lane j of
+   the neighbouring blocks that B couples in (bandwidth many per side;
    closures live inside B so need no special handling)            (VPU)
 4. interface faces -> correction via D (as below)                 (VPU)
 
@@ -98,25 +105,24 @@ __all__ = ["lane_derivative", "lane_supported", "BLOCK_LANES", "FOLD_MAX"]
 
 BLOCK_LANES = 128  # substructuring block length = one lane group
 
-# longest line served by the fold form (see module docstring: its smooth-
-# field rounding grows ~n/256 from 1.3e-6, so past 256 the roll form's
-# n-independent exactness wins)
+# longest line for which 'auto' picks the fold form over the roll form —
+# a speed preference (at larger volumes both run at the machine's copy
+# floor; the roll form's differences stay the accuracy champion), not a
+# correctness cap: since the per-block demean (round 3) the fold form is
+# accuracy-safe at any n and serves d2/filter schemes there too
 FOLD_MAX = 256
 
 
 def lane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
-    """Whether the lane kernel can differentiate lines of length ``n``."""
-    if scheme is not None and scheme.derivative_order != 1:
-        # The roll form's in-kernel RHS (g-differences, closure deltas)
-        # assumes the antisymmetric first-derivative stencil. The fold form
-        # is table-generic and also serves second derivatives (B annihilates
-        # constants for d2, so the mean subtraction stays valid; measured
-        # 1.9x the dense matmul at 256^3 with equal accuracy) and filters
-        # (no rounding amplification at all — the kernel just skips the
-        # mean subtraction, which requires annihilation) — within the fold
-        # range n <= FOLD_MAX.
-        if n > FOLD_MAX:
-            return False
+    """Whether the lane kernel can differentiate lines of length ``n``.
+
+    d2 and filter schemes run the table-generic fold form at any supported
+    n (the roll form's in-kernel RHS assumes the antisymmetric
+    first-derivative stencil): B annihilates constants for d2 so the
+    per-block demean stays valid (measured 1.9x the dense matmul at 256^3
+    with equal accuracy); filters skip demeaning (their B preserves
+    constants) and have no cancellation to lose.
+    """
     return (
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK_LANES == 0

@@ -54,12 +54,12 @@ _LANE = 128
 
 
 def sublane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
-    """Whether the sublane kernel can differentiate lines of length ``n``."""
-    if scheme is not None and scheme.derivative_order != 1:
-        # d2 and filters run through the table-generic fold form only
-        # (see lane_supported; filters skip the mean subtraction)
-        if n > FOLD_MAX:
-            return False
+    """Whether the sublane kernel can differentiate lines of length ``n``.
+
+    d2 and filter schemes run through the table-generic fold form at any
+    supported n (see ``lane_supported``; filters skip the mean
+    subtraction).
+    """
     return (
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK == 0

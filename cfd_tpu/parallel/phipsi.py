@@ -28,9 +28,15 @@ Algorithm, reshaped for TPUs:
   gather+dot (npts.c:449-569).
 
 Cost per line point vs the default substructuring method: two dense block
-passes and two gathers instead of one pass and one gather — kept for
-algorithm parity, cross-validation, and as the reference's own alternative;
-``benchmarks``/DESIGN.md record the measured comparison.
+passes and two gathers instead of one pass and one gather. Measured on the
+8-virtual-device CPU mesh (benchmarks/results/scaling_cpu_mesh.json,
+both methods same-run): phipsi is 3.5-7x *faster* there in 11 of 12
+sharded configs — the CPU regime is dispatch- and local-solve-dominated,
+where phipsi's dense-matmul locals beat substructuring's O(log n) PCR
+passes; see docs/DESIGN.md for why the structural count still favors
+substructuring as the default on ICI-connected TPU meshes. Kept as a
+first-class method, for algorithm parity, and for on-device
+cross-validation (1e-10 agreement asserted in tests).
 """
 
 from __future__ import annotations

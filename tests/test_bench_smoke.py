@@ -10,7 +10,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def test_bench_runs_and_emits_json():
-    env = dict(os.environ, BENCH_N="64", JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", ""))
+    env = dict(
+        os.environ,
+        BENCH_N="64",
+        BENCH_ROUNDS="2",
+        BENCH_SLEEP_S="0",
+        JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", ""),
+    )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,

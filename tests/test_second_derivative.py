@@ -173,11 +173,12 @@ def test_d2_routing():
         assert rm(second_minor=True) == "pallas"
         assert rm() == "matmul"
         assert rm(minor_axis=True, n=512) == "matmul"
-    # fold kernels serve d2 within FOLD_MAX only
+    # fold kernels serve d2 at any supported n since the per-block demean
+    # (auto still routes n > FOLD_MAX to matmul; pallas is explicit there)
     assert lane_supported(SCHEME4_D2_PERIODIC, 256, jnp.float32)
-    assert not lane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
+    assert lane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
     assert sublane_supported(SCHEME4_D2_PERIODIC, 256, jnp.float32)
-    assert not sublane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
+    assert sublane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
 
 
 def test_sublane_fold_kernel_d2(rng):
@@ -250,8 +251,19 @@ def test_lane_fold_kernel_d2(rng):
         got = np.asarray(lane_derivative(f, dx, scheme, interpret=True))
         rel = np.abs(got - ex).max() / np.abs(ex).max()
         assert rel < 5e-5, (scheme.name, rel)
-    # beyond the fold accuracy range the lane kernel refuses d2
-    assert not lane_supported(SCHEME4_D2_PERIODIC, 512, jnp.float32)
+    # the per-block demean makes the fold form d2-safe past FOLD_MAX too
+    n2 = 512
+    dx2 = 2 * math.pi / n2
+    f64b = rng.standard_normal((8, n2)) + 0.7
+    fb = jnp.asarray(f64b, jnp.float32)
+    exb = derivative_np(
+        SCHEME4_D2_PERIODIC, np.float64(np.float32(f64b)).T, dx2
+    ).T
+    gotb = np.asarray(
+        lane_derivative(fb, dx2, SCHEME4_D2_PERIODIC, interpret=True)
+    )
+    relb = np.abs(gotb - exb).max() / np.abs(exb).max()
+    assert relb < 2e-4, relb
     with pytest.raises(ValueError, match="fold"):
         lane_derivative(
             jnp.zeros((8, 256), jnp.float32), 0.1, SCHEME4_D2, fold=False
