@@ -25,6 +25,12 @@ gradient/curl pipelines.
 Tables are the same float64-precomputed substructuring tables as the
 single kernels; block bodies are imported from them, so accuracy is
 bit-identical to the unfused ops.
+
+``d2_pair_sum`` (round 3) extends the fusion to second derivatives for
+the Laplacian pipeline: both axes run the table-generic *fold* form and
+the kernel writes the SUM d2x+d2y — 1 read + 1 write where separate
+d2fdx2 + d2fdy2 + add costs 2 reads + 2 writes + an add pass. The
+Laplacian then needs only one more op (d2fdz2) instead of three.
 """
 
 from __future__ import annotations
@@ -48,9 +54,13 @@ from .pallas_lane import (
     lane_roll_blocks,
     lane_supported,
 )
-from .pallas_sublane import sublane_roll_blocks, sublane_supported
+from .pallas_sublane import (
+    sublane_fold_blocks,
+    sublane_roll_blocks,
+    sublane_supported,
+)
 
-__all__ = ["gradient_pair", "pair_supported"]
+__all__ = ["gradient_pair", "pair_supported", "d2_pair_sum", "d2_sum_supported"]
 
 # VMEM budget: ~11 resident tiles (in x2 double-buffered, 2 outs x2,
 # ~5 temporaries) must fit in ~12 MB -> tile cap 512x512 f32.
@@ -264,3 +274,177 @@ def gradient_pair(
         scheme=scheme, ny=ny, nx=nx, x_fold=x_fold, interpret=interpret,
     )
     return outx.reshape(f.shape), outy.reshape(f.shape)
+
+
+# ---------------------------------------------------------------------------
+# d2 pair-sum: d2f/dx2 + d2f/dy2 in one kernel, one read + one write
+# ---------------------------------------------------------------------------
+
+
+def d2_sum_supported(scheme: CompactScheme, ny: int, nx: int, dtype) -> bool:
+    """Whether the fused (d2x + d2y) kernel applies (derivative_order 2)."""
+    return (
+        scheme.derivative_order == 2
+        and lane_supported(scheme, nx, dtype)
+        and sublane_supported(scheme, ny, dtype)
+        and ny * nx <= _MAX_TILE
+    )
+
+
+def _d2_sum_kernel(
+    f_ref,
+    xt_ref,
+    xd_ref,
+    xe_ref,
+    yt_ref,
+    yd_ref,
+    ye_ref,
+    out_ref,
+    *,
+    nx: int,
+    ny: int,
+    x_meta,
+    y_meta,
+    compute_dtype,
+):
+    """One (1, ny, nx) plane -> d2x + d2y of the resident tile."""
+    m = BLOCK_LANES
+    f = f_ref[0]
+
+    edges_meta_x, d_nonzero_x, d_blocks_x = x_meta
+    xblocks = lane_fold_blocks(
+        f,
+        xt_ref,
+        xd_ref,
+        xe_ref,
+        nb=nx // m,
+        edges_meta=edges_meta_x,
+        d_nonzero=d_nonzero_x,
+        compute_dtype=compute_dtype,
+        d_blocks=d_blocks_x,
+    )
+    edges_meta_y, d_nonzero_y, d_blocks_y = y_meta
+    yblocks = sublane_fold_blocks(
+        f,
+        yt_ref,
+        yd_ref,
+        ye_ref,
+        nb=ny // m,
+        edges_meta=edges_meta_y,
+        d_nonzero=d_nonzero_y,
+        compute_dtype=compute_dtype,
+        d_blocks=d_blocks_y,
+    )
+    # sum on write: x blocks partition the lanes, y blocks the sublanes —
+    # write the x part, then accumulate the y part into the resident out
+    # tile (VMEM read-modify-write; no extra HBM traffic)
+    for b in range(nx // m):
+        out_ref[0, :, m * b : m * (b + 1)] = xblocks[b].astype(out_ref.dtype)
+    for b in range(ny // m):
+        sl = slice(m * b, m * (b + 1))
+        out_ref[0, sl, :] = out_ref[0, sl, :] + yblocks[b].astype(
+            out_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scheme", "ny", "nx", "interpret")
+)
+def _call_d2_sum(f3, xt, xd, xe, yt, yd, ye, *, scheme, ny, nx, interpret):
+    B = f3.shape[0]
+    _, _, edges_meta_x = _fold_tables(scheme, nx)
+    _, _, _, _, _, d_nonzero_x, _ = _lane_tables(scheme, nx)
+    x_meta = (edges_meta_x, d_nonzero_x, d_block_map(scheme, nx))
+    _, _, edges_meta_y = _fold_tables(scheme, ny)
+    _, _, _, _, _, d_nonzero_y, _ = _lane_tables(scheme, ny)
+    y_meta = (edges_meta_y, d_nonzero_y, d_block_map(scheme, ny))
+    kernel = functools.partial(
+        _d2_sum_kernel,
+        nx=nx,
+        ny=ny,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        compute_dtype=jnp.float32,
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, ny, nx), f3.dtype),
+        grid=(B,),
+        in_specs=[
+            plane(),
+            whole(xt),
+            whole(xd),
+            whole(xe),
+            whole(yt),
+            whole(yd),
+            whole(ye),
+        ],
+        out_specs=plane(),
+        # memory-biased estimate (1 read + 1 write)
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * ny * nx,
+            bytes_accessed=2 * B * ny * nx * f3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(f3, xt, xd, xe, yt, yd, ye)
+
+
+def d2_pair_sum(
+    f: jax.Array,
+    dy,
+    dx,
+    scheme: CompactScheme,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """d2f/dx2 + d2f/dy2 of ``f`` (..., ny, nx) — one HBM read, one write.
+
+    ``scheme`` must be a derivative_order=2 scheme (``d2_sum_supported``);
+    both axes run the fold form with per-block/line demeaning exactly as
+    the single-axis d2 ops do.
+    """
+    if f.dtype == jnp.float64:
+        raise ValueError(
+            "the pair Pallas path supports float32/bfloat16 only; use "
+            "method='pcr' for float64 runs"
+        )
+    ny, nx = f.shape[-2], f.shape[-1]
+    if not d2_sum_supported(scheme, ny, nx, f.dtype):
+        raise ValueError(
+            f"d2 pair-sum kernel unsupported for shape (..., {ny}, {nx}) "
+            f"dtype {f.dtype} scheme {scheme.name}"
+        )
+    lead = f.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    f3 = f.reshape(B, ny, nx)
+
+    inv_dx2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)) ** 2
+    Mt, E, _ = _fold_tables(scheme, nx)
+    _, D, _, _, _, _, _ = _lane_tables(scheme, nx)
+    xt = jnp.asarray(Mt) * inv_dx2
+    xd = jnp.asarray(D)
+    xe = jnp.asarray(E) * inv_dx2
+
+    inv_dy2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dy, jnp.float32)) ** 2
+    Mt_y, E_y, _ = _fold_tables(scheme, ny)
+    M_y = np.ascontiguousarray(np.transpose(Mt_y, (0, 2, 1)))  # left-dot form
+    _, D_y, _, _, _, _, _ = _lane_tables(scheme, ny)
+    yt = jnp.asarray(M_y) * inv_dy2
+    yd = jnp.asarray(D_y.T)
+    ye = jnp.asarray(E_y.T) * inv_dy2
+
+    out = _call_d2_sum(
+        f3, xt, xd, xe, yt, yd, ye,
+        scheme=scheme, ny=ny, nx=nx, interpret=interpret,
+    )
+    return out.reshape(f.shape)

@@ -177,6 +177,54 @@ def sublane_roll_blocks(
     return [xr[b] + corr[m * b : m * (b + 1), :] for b in range(nb)]
 
 
+def sublane_fold_blocks(
+    f,
+    t_ref,
+    d_ref,
+    e_ref,
+    *,
+    nb: int,
+    edges_meta,
+    d_nonzero,
+    compute_dtype,
+    demean: bool = True,
+    d_blocks=None,
+):
+    """Fold-form compute on a loaded (n, C) tile -> list of nb (m, C)
+    blocks (see ops/pallas_lane.py; shared with the fused pair kernel)."""
+    m = BLOCK
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=compute_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    f = f.astype(compute_dtype)
+    # filters (order 0) must not demean: their B preserves constants
+    fc = f - jnp.mean(f, axis=0, keepdims=True) if demean else f
+
+    xr = []
+    ei = 0
+    for b in range(nb):
+        x = dot(t_ref[b], fc[m * b : m * (b + 1), :])
+        for j in edges_meta[b]:
+            x = x + e_ref[m * b : m * (b + 1), ei : ei + 1] * fc[j : j + 1, :]
+            ei += 1
+        xr.append(x)
+
+    if d_blocks is not None:
+        return _apply_sparse_corr(xr, d_ref, d_nonzero, d_blocks, nb, m, 0)
+    corr = None
+    for k in d_nonzero:
+        b, e = divmod(k, 2)
+        row = 0 if e == 0 else m - 1
+        face = -xr[b][row : row + 1, :]
+        t = d_ref[:, k : k + 1] * face
+        corr = t if corr is None else corr + t
+    return xr if corr is None else [
+        xr[b] + corr[m * b : m * (b + 1), :] for b in range(nb)
+    ]
+
+
 def _sublane_fold_kernel(
     f_ref,
     t_ref,
@@ -195,38 +243,18 @@ def _sublane_fold_kernel(
 ):
     """One (n, C) column-block, fold form (see ops/pallas_lane.py)."""
     m = BLOCK
-    dot = functools.partial(
-        jnp.dot,
-        preferred_element_type=compute_dtype,
-        precision=jax.lax.Precision.HIGHEST,
+    blocks = sublane_fold_blocks(
+        f_ref[:] if squeezed else f_ref[0],
+        t_ref,
+        d_ref,
+        e_ref,
+        nb=nb,
+        edges_meta=edges_meta,
+        d_nonzero=d_nonzero,
+        compute_dtype=compute_dtype,
+        demean=demean,
+        d_blocks=d_blocks,
     )
-    f = (f_ref[:] if squeezed else f_ref[0]).astype(compute_dtype)
-    # filters (order 0) must not demean: their B preserves constants
-    fc = f - jnp.mean(f, axis=0, keepdims=True) if demean else f
-
-    xr = []
-    ei = 0
-    for b in range(nb):
-        x = dot(t_ref[b], fc[m * b : m * (b + 1), :])
-        for j in edges_meta[b]:
-            x = x + e_ref[m * b : m * (b + 1), ei : ei + 1] * fc[j : j + 1, :]
-            ei += 1
-        xr.append(x)
-
-    if d_blocks is not None:
-        blocks = _apply_sparse_corr(xr, d_ref, d_nonzero, d_blocks, nb, m, 0)
-    else:
-        corr = None
-        for k in d_nonzero:
-            b, e = divmod(k, 2)
-            row = 0 if e == 0 else m - 1
-            face = -xr[b][row : row + 1, :]
-            t = d_ref[:, k : k + 1] * face
-            corr = t if corr is None else corr + t
-        blocks = xr if corr is None else [
-            xr[b] + corr[m * b : m * (b + 1), :] for b in range(nb)
-        ]
-
     for b in range(nb):
         blk = blocks[b].astype(out_ref.dtype)
         if squeezed:

@@ -61,6 +61,48 @@ def test_pair_matches_single_kernels(rng):
     np.testing.assert_array_equal(np.asarray(gy), np.asarray(sy))
 
 
+D2_ALL = [SCHEME4_D2_PERIODIC]
+
+
+def test_d2_pair_sum_matches_oracle(rng):
+    """d2x + d2y in one kernel (the Laplacian's xy part) vs the oracle."""
+    from cfd_tpu.ops.pallas_pair import d2_pair_sum, d2_sum_supported
+    from cfd_tpu.schemes import SCHEME4_D2, get_scheme
+
+    f64 = rng.standard_normal((3, 256, 256)) + 0.5
+    f = jnp.asarray(f64, jnp.float32)
+    dy, dx = 0.03, 0.02
+    for scheme in (SCHEME4_D2_PERIODIC, SCHEME4_D2, get_scheme(6, True, 2)):
+        assert d2_sum_supported(scheme, 256, 256, jnp.float32)
+        got = np.asarray(
+            d2_pair_sum(f, dy, dx, scheme, interpret=True), np.float64
+        )
+        ex = derivative_np(
+            scheme, np.float64(np.float32(f64)), dx, axis=-1
+        ) + derivative_np(scheme, np.float64(np.float32(f64)), dy, axis=-2)
+        # d2 on f32 random data amplifies input rounding by O(n^2/dx^2)
+        # relative to the oracle's exact arithmetic on the same cast field;
+        # the backend share is the same as the single-axis fold kernels
+        assert np.abs(got - ex).max() / np.abs(ex).max() < 5e-4
+
+
+def test_d2_pair_sum_matches_singles(rng):
+    """Pair-sum == lane-fold d2x + sublane-fold d2y (same block bodies)."""
+    from cfd_tpu.ops.pallas_lane import lane_derivative
+    from cfd_tpu.ops.pallas_pair import d2_pair_sum
+    from cfd_tpu.ops.pallas_sublane import sublane_derivative
+
+    f = jnp.asarray(rng.standard_normal((2, 256, 256)), jnp.float32)
+    got = d2_pair_sum(f, 0.03, 0.02, SCHEME4_D2_PERIODIC, interpret=True)
+    sx = lane_derivative(f, 0.02, SCHEME4_D2_PERIODIC, interpret=True)
+    sy = sublane_derivative(
+        f, 0.03, SCHEME4_D2_PERIODIC, axis=-2, interpret=True, fold=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(sx + sy), rtol=0, atol=1e-5
+    )
+
+
 def test_pair_supported_gates():
     assert not pair_supported(SCHEME4_D2_PERIODIC, 256, 256, jnp.float32)  # d2
     assert not pair_supported(SCHEME4_PERIODIC, 256, 200, jnp.float32)  # nx%128
