@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import cfd_tpu
 from cfd_tpu.schemes import SCHEME4
-from cfd_tpu.utils.timing import chain_time
+from cfd_tpu.utils.timing import ChainSampler
 
 
 def main():
@@ -67,25 +67,31 @@ def main():
         assert err < 5e-4, f"accuracy gate failed ({name}): {err}"
 
     # Chain length: the tunnel's dispatch round trip jitters by several ms,
-    # so the chain delta must be tens of ms for the slope to be trustworthy
-    # (~0.17 ms/step x 500 steps = 85 ms of signal).
-    k_big = max(96, min(512, int(85e-3 / 0.17e-3)))
+    # so the chain delta must be ~100 ms for the slope to be trustworthy.
+    # Scale with the problem size (a 64^3 step is ~60x faster than 256^3;
+    # a fixed k left its delta inside the noise floor and the slope
+    # collapsed to the roofline-gate trip point).
+    k_big = int(max(96, min(20000, 120e-3 * 70e9 / n**3)))
     # The shared chip's contention comes in windows that last minutes, so
-    # back-to-back repeats all land in the same weather. Spread the chains
-    # across a multi-minute wall-clock window (BENCH_ROUNDS x BENCH_SLEEP_S)
-    # and keep the global min — the uncontended kernel figure. Round 2's
-    # single chain_time call with 8 back-to-back repeats under-read the
-    # kernel two rounds in a row.
-    rounds = int(os.environ.get("BENCH_ROUNDS", "7"))
-    sleep_s = float(os.environ.get("BENCH_SLEEP_S", "12"))
+    # back-to-back repeats all land in the same weather. Build + warm each
+    # form's chains ONCE (ChainSampler), then spread cheap samples across a
+    # multi-minute wall-clock window (BENCH_ROUNDS x BENCH_SLEEP_S) and take
+    # the slope of the per-chain global minima — the uncontended kernel
+    # figure. Round 2's single chain_time call with 8 back-to-back repeats
+    # under-read the kernel two rounds in a row; rebuilding chains per round
+    # (the first round-3 harness) made each round cost ~90 s of jit/warm
+    # tunnel traffic, capping how many weather windows fit in a run.
+    rounds = int(os.environ.get("BENCH_ROUNDS", "10"))
+    sleep_s = float(os.environ.get("BENCH_SLEEP_S", "10"))
     import time
 
-    dt = float("inf")
+    samplers = [ChainSampler(step, f, k_small=8, k_big=k_big) for step in steps.values()]
     for r in range(rounds):
-        for step in steps.values():
-            dt = min(dt, chain_time(step, f, k_small=8, k_big=k_big, repeats=2))
+        for s in samplers:
+            s.sample()
         if r + 1 < rounds:
             time.sleep(sleep_s)
+    dt = min(s.slope for s in samplers)
     pts_per_s = n**3 / dt
     # plausibility gate: one read + one write of f32 against the v5e HBM
     # aggregate spec (819 GB/s shared by reads and writes — the round-2

@@ -22,7 +22,13 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chain_time", "phase_timer", "spec_roofline_pts_per_s", "HBM_BW_BYTES_PER_S"]
+__all__ = [
+    "chain_time",
+    "ChainSampler",
+    "phase_timer",
+    "spec_roofline_pts_per_s",
+    "HBM_BW_BYTES_PER_S",
+]
 
 # Aggregate HBM bandwidth spec of the benched chip (TPU v5e / "TPU v5 lite":
 # 819 GB/s total — reads and writes SHARE this budget; there is no separate
@@ -139,6 +145,57 @@ def chain_time(
         slope = (best_of(big2) - best_of(small)) / (k_new - k_small)
         k_cur = k_new
     return max(slope, 1e-12)
+
+
+class ChainSampler:
+    """Chain-slope timing spread across a caller-controlled wall-clock window.
+
+    ``chain_time`` rebuilds and re-warms its chains on every call, which
+    makes sampling the same op repeatedly (to dodge shared-chip contention
+    windows that last minutes) pay the jit/warm cost each round. This
+    sampler builds and warms the two chains **once**; each ``sample()`` is
+    then just four tunnel round trips. The reported ``slope`` is computed
+    from the global minima of the small and big chains over all samples —
+    both minima come from the quietest observed weather, which is the
+    uncontended figure the headline wants.
+
+    Every timed run uses a fresh perturbed input (tunnelled runtimes
+    memoize (executable, argument) pairs). The perturbation multiply is
+    enqueued inside the timed window for both chains, so its (single
+    elementwise pass of) cost cancels in the slope.
+    """
+
+    def __init__(self, step: Callable, x: jax.Array, *, k_small: int = 8, k_big: int = 500):
+        self.k_small, self.k_big = k_small, k_big
+        self._small = _build_chain(step, k_small)
+        self._big = _build_chain(step, k_big)
+        self._x = x
+        self._i = 0
+        self.t_small = float("inf")
+        self.t_big = float("inf")
+        self._timed(self._small)  # compile + warm (discarded)
+        self._timed(self._big)
+
+    def _timed(self, fn) -> float:
+        import numpy as np
+
+        self._i += 1
+        t0 = time.perf_counter()
+        xi = self._x * (1.0 + 1e-6 * self._i)
+        r = fn(xi)
+        corner = r[(slice(0, 1),) * r.ndim] if r.ndim else r
+        float(np.asarray(jnp.sum(corner)))  # host readback = real sync
+        return time.perf_counter() - t0
+
+    def sample(self) -> None:
+        """One timing of each chain; keeps the per-chain global minimum."""
+        self.t_small = min(self.t_small, self._timed(self._small))
+        self.t_big = min(self.t_big, self._timed(self._big))
+
+    @property
+    def slope(self) -> float:
+        """Best-weather seconds per application of ``step``."""
+        return max((self.t_big - self.t_small) / (self.k_big - self.k_small), 1e-12)
 
 
 class phase_timer:
