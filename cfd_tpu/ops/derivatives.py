@@ -50,6 +50,7 @@ def resolve_method(
     minor_axis: bool = False,
     second_minor: bool = False,
     derivative_order: int = 1,
+    leading: bool = False,
 ) -> str:
     """Resolve 'auto' to the fastest backend for this dtype/backend/size.
 
@@ -58,15 +59,26 @@ def resolve_method(
     48-54 Gpt/s at 256^3, 1.8x at n=512 — ops/pallas_lane.py). Along the
     second-minor axis (dfdy) the sublane kernel wins (65 vs 50 Gpt/s at
     256^3, 81 vs 32 at n=512 — its blocks are contiguous HBM slabs there,
-    ops/pallas_sublane.py). Along deeper axes (dfdz) the blocks stride and
-    the dense-operator MXU path stays ahead (54 vs 46 Gpt/s at 256^3) up to
-    ``_MATMUL_BLOCK``-length lines; past that the sublane kernel's O(128)
-    MACs/point win. float64 and CPU take the XLA-level PCR path.
+    ops/pallas_sublane.py). Along the *leading* axis (dfdz on 3-D fields)
+    the round-3 substructured native-layout kernel wins (75 vs 45 Gpt/s at
+    256^3 — ops/pallas_leading.py); on other deep axes (4-D fields) the
+    dense-operator MXU path stays ahead up to ``_MATMUL_BLOCK``-length
+    lines; past that the sublane kernel's O(128) MACs/point win. float64
+    and CPU take the XLA-level PCR path.
     """
     if method != "auto":
         return method
     if dtype == jnp.float64 or jax.default_backend() == "cpu":
         return "pcr"
+    if leading and dtype == jnp.float32:
+        # f32 leading axis: the native-3D substructured kernel wins at every
+        # derivative order (measured interleaved vs matmul at 256^3: d1 75
+        # vs 45, d2 73 vs 46, filter 64 vs 46 Gpt/s; at 512^3 d1 39 vs 23).
+        # bf16 stays on the single-pass matmul (~10x faster there).
+        from .pallas_leading import leading_supported
+
+        if leading_supported(None, n, dtype):
+            return "pallas"
     if derivative_order != 1:
         # d2/filters: the lane/sublane *fold* form is table-generic and wins
         # where measured (256^3 f32, same-run interleaved): d2 1.9x/1.3x the
@@ -374,6 +386,7 @@ def derivative(
     axis: int = -1,
     method: str = "auto",
     matmul_precision: str = "highest",
+    interpret: bool = False,
 ) -> jax.Array:
     """Compact derivative of ``f`` along ``axis`` with spacing ``dx``.
 
@@ -398,20 +411,33 @@ def derivative(
         minor_axis=minor,
         second_minor=axis == f.ndim - 2,
         derivative_order=scheme.derivative_order,
+        # 2-D (n, B) fields keep the sublane route (axis 0 is second-minor
+        # there, a contiguous fast case); the leading kernel claims true
+        # 3-D+ leading axes, where every alternative pays a relayout
+        leading=axis == 0 and f.ndim >= 3,
     )
     if method == "pallas" and minor:
         from .pallas_lane import lane_derivative, lane_supported
 
         if lane_supported(scheme, f.shape[axis], f.dtype):
             # transpose-free lane-axis kernel: one HBM read + one write
-            return lane_derivative(f, dx, scheme)
+            return lane_derivative(f, dx, scheme, interpret=interpret)
     if method == "pallas" and not minor:
+        if axis == 0 and f.ndim >= 3:
+            from .pallas_leading import leading_derivative, leading_supported
+
+            if leading_supported(scheme, f.shape[0], f.dtype):
+                # leading-axis substructured kernel: native-3D blocks, zero
+                # relayouts (the transpose-free dfdz)
+                return leading_derivative(f, dx, scheme, interpret=interpret)
         from .pallas_sublane import sublane_derivative, sublane_supported
 
         if sublane_supported(scheme, f.shape[axis], f.dtype):
             # transpose-free sublane-axis kernel: trailing dims merge into
             # the lane dimension, lines run along sublanes
-            return sublane_derivative(f, dx, scheme, axis=axis)
+            return sublane_derivative(
+                f, dx, scheme, axis=axis, interpret=interpret
+            )
     if method == "matmul":
         # MXU passes for f32 inputs: 'highest' (bf16x6, ~1e-6 abs err on
         # smooth fields) is the default; 'high' (bf16x3) halves the MXU cost
@@ -643,9 +669,14 @@ def laplacian(
         from .pallas_pair import d2_pair_sum, d2_sum_supported
 
         if d2_sum_supported(scheme, f.shape[-2], f.shape[-1], f.dtype):
-            return d2_pair_sum(f, dy, dx, scheme) + d2fdz2(
-                f, dz, scheme, method=method
-            )
+            s = d2_pair_sum(f, dy, dx, scheme)
+            from .pallas_leading import leading_derivative, leading_supported
+
+            if f.ndim == 3 and leading_supported(scheme, f.shape[0], f.dtype):
+                # d2z through the leading-axis kernel with the xy sum as
+                # its accumuland: the add pass rides the kernel's write
+                return leading_derivative(f, dz, scheme, acc=s)
+            return s + d2fdz2(f, dz, scheme, method=method)
     return (
         d2fdx2(f, dx, scheme, method=method)
         + d2fdy2(f, dy, scheme, method=method)

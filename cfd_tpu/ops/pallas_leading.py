@@ -1,0 +1,424 @@
+"""Leading-axis substructured compact-derivative kernel (native-3D dfdz).
+
+The z-derivative of a ``[nz, ny, nx]`` field differentiates the *leading*
+(untiled) axis. Round 1's leading-axis kernel (ops/pallas_fused.py) already
+solved lines along axis 0, but required the batch flattened to ``(n, B)``
+and re-split to ``(n, B/128, 128)`` — both physical relayouts on TPU (the
+(sublane, lane) tiling changes), costing a full HBM round trip each way on
+3-D fields (measured: the relayout pair turns a 0.24 ms kernel into a
+0.41 ms op at 256^3, benchmarks/diag_dfdz.py). The round-2 alternative — the
+sublane kernel after merging trailing dims — pays the same relayout, and the
+dense MXU operator pays O(n) MACs/point at HIGHEST precision (~0.31 ms).
+
+This kernel takes the 3-D field **in its native layout**: blocks are
+``(n, S, 128)`` windows of ``(nz, ny, nx)`` indexed by a (ny/S, nx/128)
+grid — zero relayouts, every DMA a contiguous tile slab. Measured at 256^3
+f32 (chain-slope, interleaved same-run vs the dense MXU operator):
+**0.220-0.230 ms = 73-76 Gpt/s** for d1 and d2 vs matmul's 0.36-0.37, and
+0.261 ms (64 Gpt/s) for filters vs 0.364 — the `auto` route for every f32
+leading-axis op. At 512^3 it rides the machine's large-footprint copy floor
+(3.42 ms = 39 Gpt/s, 1.7x the blocked matmul; see docs/RESULTS.md). bf16
+keeps the single-pass matmul. The solve is the
+same substructuring the rest of the framework uses (parallel/compact.py,
+reference /root/reference/code/cuda/compact.py:29-154), specialised to the
+register-major axis where MXU matmuls cannot reach (a z-contraction in this
+layout needs a sublane-gather relayout that Mosaic cannot compile —
+docs/RESULTS.md round-3 diagnosis):
+
+* the line is cut into ``nb`` blocks of ``bz = n/nb`` rows; each block's
+  Thomas recurrence runs **interleaved with the other nb-1 blocks**, so the
+  VPU sees nb independent dependency chains instead of the single global
+  chain that latency-bound round 1's kernel (ILP = nb x S x 128 lanes);
+* interface faces come out of the *forward* sweep alone: the block-last
+  face is the final forward carry times the last pivot, and the block-first
+  face is accumulated against the precomputed first row of the block
+  inverse ``T_b^{-1}[0, :]`` (one SMEM-scalar FMA per row) — no extra pass;
+* the (2nb, 2nb) reduced interface solve is unrolled SMEM-scalar FMAs
+  against the decay-truncated rows of the precomputed reduced inverse
+  (reference kernels.cu:115-145 does this serially per thread; here every
+  lane of the batch solves its own interface system simultaneously);
+* the rank-2 unit-load update ``x += alpha*uh + beta*lh`` (reference
+  kernels.cu:49-74 sumSolutions) is folded into the backward sweep as two
+  SMEM-scalar FMAs per row — the full (n,) uh/lh tables ride in SMEM, so
+  no peeling and no truncation error.
+
+float32/bfloat16 fields (bf16 is converted on entry; the solve is
+f32-internal like the lane/sublane kernels). float64 callers take the PCR
+path. Tables are precomputed in float64 at trace time from the same
+``parallel.compact.direction_tables`` the distributed solver uses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..schemes import CompactScheme
+from .rhs import closure_ghosts
+
+__all__ = ["leading_derivative", "leading_supported"]
+
+LANE = 128
+_MIN_BZ = 32  # shortest sub-block: >= closure stencil and >= 2*width+1
+
+
+def _pick_nb(n: int) -> int:
+    """Sub-block count: 8 independent Thomas chains when the line allows
+    (the ILP sweet spot measured on v5e), fewer for short lines."""
+    for nb in (8, 4, 2):
+        if n % nb == 0 and n // nb >= _MIN_BZ:
+            return nb
+    return 1
+
+
+def leading_supported(scheme: CompactScheme, n: int, dtype) -> bool:
+    """Whether the leading-axis kernel can differentiate lines of length n."""
+    return dtype in (jnp.float32, jnp.bfloat16) and _pick_nb(n) >= 2
+
+
+@functools.lru_cache(maxsize=None)
+def _leading_tables(scheme: CompactScheme, n: int):
+    """Kernel tables (float64 math, truncated to float32 at the end).
+
+    Returns (w, invd, du, uh, lh, t0, rinv, rsupport, has_uh, has_lh, nb):
+      w/invd/du — (n,) per-sub-block Thomas factors, concatenated
+      uh/lh     — (n,) unit-load solutions per sub-block (zero where the
+                  block has no coupling on that side)
+      t0        — (n,) first rows of the sub-block inverses T_b^{-1}[0, :]
+      rinv      — (2nb*2nb,) reduced-matrix inverse, columns 0 and 2nb-1
+                  zeroed for non-periodic lines (the face mask of
+                  ops/derivatives._blocked_matmul_derivative folded in)
+      rsupport  — per reduced unknown j, the tuple of face indices k with
+                  |rinv[j,k]| above 1e-12 of the row max (geometric decay
+                  across the interface chain; ~8 survive per row)
+      has_uh/lh — per block, whether the unit-load table is nonzero
+    """
+    from ..parallel.compact import direction_tables
+
+    nb = _pick_nb(n)
+    t = direction_tables(scheme, n, nb)
+    w = np.concatenate(t.tw)
+    invd = np.concatenate(t.tinvd)
+    du = np.concatenate(t.tdu)
+    uh = np.concatenate(t.uh)
+    lh = np.concatenate(t.lh)
+    t0 = np.concatenate([t.tinv[b][0, :] for b in range(nb)])
+    rinv = t.rinv_rows.reshape(2 * nb, 2 * nb).copy()
+    if not scheme.periodic:
+        rinv[:, 0] = 0.0
+        rinv[:, -1] = 0.0
+    rsupport = []
+    amax = np.abs(rinv).max() or 1.0
+    for j in range(2 * nb):
+        thresh = 1e-12 * amax
+        rsupport.append(
+            tuple(int(k) for k in range(2 * nb) if abs(rinv[j, k]) > thresh)
+        )
+    has_uh = tuple(bool(np.any(t.uh[b])) for b in range(nb))
+    has_lh = tuple(bool(np.any(t.lh[b])) for b in range(nb))
+    f32 = lambda a: np.asarray(a, np.float32)
+    return (
+        f32(w),
+        f32(invd),
+        f32(du),
+        f32(uh),
+        f32(lh),
+        f32(t0),
+        f32(rinv.reshape(-1)),
+        tuple(rsupport),
+        has_uh,
+        has_lh,
+        nb,
+    )
+
+
+def _stencil(scheme: CompactScheme):
+    return (
+        tuple(zip(scheme.rhs_offsets, scheme.rhs_weights)),
+        scheme.rhs_sign,
+        scheme.rhs_center,
+        scheme.derivative_order,
+    )
+
+
+def _leading_kernel(
+    inv_dx_ref,
+    f_ref,
+    gl_ref,
+    gr_ref,
+    w_ref,
+    invd_ref,
+    du_ref,
+    uh_ref,
+    lh_ref,
+    t0_ref,
+    rinv_ref,
+    *refs,
+    n: int,
+    nb: int,
+    halo: int,
+    stencil,
+    rsupport,
+    has_uh,
+    has_lh,
+    has_acc: bool,
+):
+    """nb interleaved sub-block Thomas chains + in-sweep interface update.
+
+    f_ref/out_ref: (n, S, 128) native-layout block (or (n, W) for 2-D
+    batches); gl/gr: (halo, ...) ghost rows; everything else SMEM scalars.
+    With ``has_acc`` an extra (n, ...) accumuland block rides along and is
+    added into the final backward-sweep write (the Laplacian's d2x+d2y sum
+    — saves the separate elementwise add pass over HBM).
+    """
+    if has_acc:
+        acc_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        acc_ref = None
+    taps, sgn, c0, dord = stencil
+    bz = n // nb
+    s = 1.0
+    for _ in range(dord):
+        s = s * inv_dx_ref[0]
+
+    shape1 = (1,) + out_ref.shape[1:]
+    zero = jnp.zeros(shape1, out_ref.dtype)
+
+    def row(i):
+        """f at global row i, i in [-halo, n+halo), static index."""
+        if i < 0:
+            return gl_ref[pl.ds(halo + i, 1)]
+        if i >= n:
+            return gr_ref[pl.ds(i - n, 1)]
+        return f_ref[pl.ds(i, 1)]
+
+    def pair(a, b):
+        return (a - b) if sgn < 0 else (a + b)
+
+    def rhs_at(load):
+        r = None
+        for k, wt in taps:
+            t = wt * pair(load(k), load(-k))
+            r = t if r is None else r + t
+        if c0:
+            r = r + c0 * load(0)
+        return r
+
+    def fwd_one(b, g, ys, ffs, static):
+        """One forward step of chain b at global row g (static or traced)."""
+        if static:
+            r = rhs_at(lambda k: row(g + k))
+        else:
+            r = rhs_at(lambda k: f_ref[pl.ds(g + k, 1)])
+        y = r - w_ref[g] * ys[b]
+        out_ref[pl.ds(g, 1)] = y
+        ys[b] = y
+        ffs[b] = ffs[b] + t0_ref[g] * r
+
+    # ---- forward sweeps, nb interleaved chains --------------------------
+    ys = [zero] * nb
+    ffs = [zero] * nb
+    for i in range(halo):  # global edge rows need ghosts: peel (static)
+        for b in range(nb):
+            fwd_one(b, b * bz + i, ys, ffs, static=True)
+
+    def fwd_step(i, carry):
+        ys = list(carry[0])
+        ffs = list(carry[1])
+        for b in range(nb):
+            fwd_one(b, b * bz + i, ys, ffs, static=False)
+        return tuple(ys), tuple(ffs)
+
+    ys, ffs = jax.lax.fori_loop(
+        halo, bz - halo, fwd_step, (tuple(ys), tuple(ffs))
+    )
+    ys, ffs = list(ys), list(ffs)
+    for i in range(bz - halo, bz):  # peel (static)
+        for b in range(nb):
+            fwd_one(b, b * bz + i, ys, ffs, static=True)
+
+    # ---- interface faces + redundant reduced solve ----------------------
+    # faces[2b] = -x_R at block-first row (accumulated via T_b^{-1}[0, :]);
+    # faces[2b+1] = -x_R at block-last row (= final forward carry * pivot)
+    faces = []
+    for b in range(nb):
+        faces.append(-ffs[b])
+        faces.append(-(ys[b] * invd_ref[(b + 1) * bz - 1]))
+    us = []
+    for j in range(2 * nb):
+        acc = None
+        for k in rsupport[j]:
+            term = rinv_ref[j * 2 * nb + k] * faces[k]
+            acc = term if acc is None else acc + term
+        us.append(zero if acc is None else acc)
+
+    # ---- backward sweeps with the rank-2 update folded in ---------------
+    def bwd_step(j, xs):
+        xs = list(xs)
+        for b in range(nb):
+            g = b * bz + (bz - 1) - j
+            x = (out_ref[pl.ds(g, 1)] - du_ref[g] * xs[b]) * invd_ref[g]
+            tot = x
+            if has_uh[b]:
+                tot = tot + us[2 * b] * uh_ref[g]
+            if has_lh[b]:
+                tot = tot + us[2 * b + 1] * lh_ref[g]
+            res = tot * s
+            if has_acc:
+                res = res + acc_ref[pl.ds(g, 1)]
+            out_ref[pl.ds(g, 1)] = res
+            xs[b] = x
+        return tuple(xs)
+
+    jax.lax.fori_loop(0, bz, bwd_step, (zero,) * nb)
+
+
+def _auto_sublanes(n: int, b1: int, n_blocks: int = 2) -> int:
+    """Largest sublane count S (16 or 8) dividing b1 with all resident
+    (n, S, 128) blocks (``n_blocks`` arrays, double-buffered) under ~12 MB
+    of VMEM."""
+    budget = 12 * 1024 * 1024
+    for s in (16, 8):
+        if b1 % s == 0 and 2 * n_blocks * n * s * LANE * 4 <= budget:
+            return s
+    return 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme", "n", "nb", "halo", "interpret"),
+)
+def _call_leading(f, gl, gr, inv_dx, acc=None, *, scheme, n, nb, halo, interpret):
+    """f: (n, B1, B2) with B2 % 128 == 0 and B1 % 8 == 0, or (n, B) with
+    B % 1024 == 0. ``acc`` (same shape as f) is added into the output."""
+    w, invd, du, uh, lh, t0, rinv, rsupport, has_uh, has_lh, _ = _leading_tables(
+        scheme, n
+    )
+    kernel = functools.partial(
+        _leading_kernel,
+        n=n,
+        nb=nb,
+        halo=halo,
+        stencil=_stencil(scheme),
+        rsupport=rsupport,
+        has_uh=has_uh,
+        has_lh=has_lh,
+        has_acc=acc is not None,
+    )
+    if f.ndim == 3:
+        B1, B2 = f.shape[1:]
+        S = _auto_sublanes(n, B1, 2 if acc is None else 3)
+        grid = (B1 // S, B2 // LANE)
+        block = lambda lead: pl.BlockSpec(
+            (lead, S, LANE), lambda j, k: (0, j, k), memory_space=pltpu.VMEM
+        )
+    else:
+        B = f.shape[1]
+        W = 16 * LANE
+        grid = (B // W,)
+        block = lambda lead: pl.BlockSpec(
+            (lead, W), lambda j: (0, j), memory_space=pltpu.VMEM
+        )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    cdt = jnp.float32
+    extra_specs = [block(n)] if acc is not None else []
+    extra_args = [acc.astype(cdt)] if acc is not None else []
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(f.shape, cdt),
+        grid=grid,
+        in_specs=[smem(), block(n), block(halo), block(halo)]
+        + [smem()] * 7
+        + extra_specs,
+        out_specs=block(n),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * f.size,
+            bytes_accessed=(3 if acc is not None else 2) * f.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(inv_dx, cdt).reshape(1),
+        f.astype(cdt),
+        gl.astype(cdt),
+        gr.astype(cdt),
+        *(jnp.asarray(a) for a in (w, invd, du, uh, lh, t0, rinv)),
+        *extra_args,
+    )
+    return out
+
+
+def leading_derivative(
+    f: jax.Array,
+    dx,
+    scheme: CompactScheme,
+    *,
+    acc: jax.Array = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Derivative along axis 0 of ``f`` (n, *batch) — relayout-free on
+    native (nz, ny, nx) fields with ny % 8 == 0 and nx % 128 == 0.
+
+    ``acc`` (same shape as f) is added into the output inside the kernel's
+    final write — ``laplacian`` passes the fused d2x+d2y sum here, saving
+    the separate elementwise add pass over HBM.
+    """
+    if f.dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(
+            "the Pallas path supports float32/bfloat16 only; use method='pcr' "
+            "for float64 (oracle-parity) runs"
+        )
+    if acc is not None and acc.shape != f.shape:
+        raise ValueError(f"acc shape {acc.shape} != field shape {f.shape}")
+    n = f.shape[0]
+    nb = _pick_nb(n)
+    if nb < 2:
+        raise ValueError(
+            f"line length {n} too short for the leading-axis substructured "
+            f"kernel (needs n divisible into >= 2 blocks of >= {_MIN_BZ})"
+        )
+    bshape = f.shape[1:]
+    # native 3-D path when the trailing dims tile cleanly; otherwise flatten
+    # the batch (XLA inserts the relayout the native path exists to avoid —
+    # still correct, just not the fast path)
+    n_blocks = 2 if acc is None else 3
+    if (
+        f.ndim >= 3
+        and f.shape[-1] % LANE == 0
+        and int(np.prod(bshape[:-1])) % 8 == 0
+        and _auto_sublanes(n, int(np.prod(bshape[:-1])), n_blocks)
+    ):
+        reshape = lambda a: a.reshape(n, int(np.prod(bshape[:-1])), a.shape[-1])
+    else:
+        B = int(np.prod(bshape))
+        W = 16 * LANE
+        Bp = -(-B // W) * W
+
+        def reshape(a):
+            a = a.reshape(n, B)
+            return jnp.pad(a, ((0, 0), (0, Bp - B))) if Bp != B else a
+
+    fx = reshape(f)
+    gl, gr = closure_ghosts(fx, scheme)
+    halo = gl.shape[0]
+    out = _call_leading(
+        fx,
+        gl,
+        gr,
+        jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32),
+        reshape(acc) if acc is not None else None,
+        scheme=scheme,
+        n=n,
+        nb=nb,
+        halo=halo,
+        interpret=interpret,
+    )
+    if out.ndim == 2 and out.shape[1] != int(np.prod(bshape)):
+        out = out[:, : int(np.prod(bshape))]
+    return out.reshape((n,) + bshape).astype(f.dtype)

@@ -1,0 +1,97 @@
+"""Leading-axis substructured kernel (native-3D dfdz) vs the float64 oracle.
+
+ops/pallas_leading.py differentiates the untiled major axis of a native
+(nz, ny, nx) field with zero relayouts — the TPU answer to the reference's
+host-transpose dfdz (/root/reference/code/ocl/compact.py:52-61). Interpret
+mode on CPU; the real-TPU path is exercised by bench/verify runs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cfd_tpu
+from cfd_tpu.oracle import derivative_np
+from cfd_tpu.ops.pallas_leading import leading_derivative, leading_supported
+from cfd_tpu.schemes import (
+    SCHEME4,
+    SCHEME4_D2,
+    SCHEME4_D2_PERIODIC,
+    SCHEME4_PERIODIC,
+    SCHEME6,
+    SCHEME6_PERIODIC,
+    get_filter,
+)
+
+ALL = [SCHEME4, SCHEME4_PERIODIC, SCHEME6, SCHEME6_PERIODIC]
+
+
+def _check(scheme, f64, dx, tol, **kw):
+    f = jnp.asarray(f64, jnp.float32)
+    out = leading_derivative(f, dx, scheme, interpret=True, **kw)
+    ref = derivative_np(scheme, np.float64(np.float32(f64)), dx, axis=0)
+    rel = np.abs(np.asarray(out, np.float64) - ref).max() / np.abs(ref).max()
+    assert rel < tol, f"{scheme.name}: rel={rel:.3e}"
+
+
+@pytest.mark.parametrize("scheme", ALL, ids=[s.name for s in ALL])
+def test_leading_matches_oracle_3d(rng, scheme):
+    assert leading_supported(scheme, 256, jnp.float32)
+    _check(scheme, rng.standard_normal((256, 16, 128)) + 0.5, 0.02, 5e-6)
+
+
+@pytest.mark.parametrize("scheme", [SCHEME4, SCHEME4_PERIODIC])
+def test_leading_2d_fallback(rng, scheme):
+    """2-D (n, B) batches take the flat blockspec path, including padding."""
+    _check(scheme, rng.standard_normal((128, 100)) + 0.5, 0.05, 5e-6)
+
+
+def test_leading_second_derivative(rng):
+    _check(SCHEME4_D2, rng.standard_normal((128, 8, 128)), 0.02, 5e-5)
+    _check(SCHEME4_D2_PERIODIC, rng.standard_normal((128, 8, 128)), 0.02, 5e-5)
+
+
+def test_leading_filter(rng):
+    filt = get_filter(6, periodic=True)
+    _check(filt, rng.standard_normal((128, 8, 128)) + 2.0, 1.0, 5e-6)
+
+
+def test_leading_odd_block_counts(rng):
+    """n = 192 -> nb = 4 sub-blocks of 48; n = 64 -> nb = 2 of 32."""
+    _check(SCHEME4, rng.standard_normal((192, 8, 128)), 0.02, 5e-6)
+    _check(SCHEME4_PERIODIC, rng.standard_normal((64, 8, 128)), 0.02, 5e-6)
+
+
+def test_leading_acc_fusion(rng):
+    """acc rides the final write: leading(f, acc=a) == leading(f) + a."""
+    f64 = rng.standard_normal((128, 8, 128)) + 0.5
+    a64 = rng.standard_normal((128, 8, 128))
+    f = jnp.asarray(f64, jnp.float32)
+    a = jnp.asarray(a64, jnp.float32)
+    fused = leading_derivative(f, 0.02, SCHEME4, acc=a, interpret=True)
+    plain = leading_derivative(f, 0.02, SCHEME4, interpret=True) + a
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), rtol=0, atol=1e-4
+    )
+    with pytest.raises(ValueError):
+        leading_derivative(f, 0.02, SCHEME4, acc=a[:, :4], interpret=True)
+
+
+def test_leading_rejects_f64_and_short_lines(rng):
+    with pytest.raises(ValueError):
+        leading_derivative(jnp.zeros((256, 8, 128)), 0.1, SCHEME4)
+    with pytest.raises(ValueError):
+        leading_derivative(
+            jnp.zeros((48, 8, 128), jnp.float32), 0.1, SCHEME4, interpret=True
+        )
+
+
+def test_dfdz_pallas_method_routes_to_leading(rng):
+    """method='pallas' on a 3-D field's leading axis must match the oracle
+    through the public API (routing in ops/derivatives.py)."""
+    f64 = rng.standard_normal((128, 16, 128)) + 0.5
+    f = jnp.asarray(f64, jnp.float32)
+    out = cfd_tpu.dfdz(f, 0.02, SCHEME4, method="pallas", interpret=True)
+    ref = derivative_np(SCHEME4, np.float64(np.float32(f64)), 0.02, axis=0)
+    rel = np.abs(np.asarray(out, np.float64) - ref).max() / np.abs(ref).max()
+    assert rel < 5e-6
