@@ -163,10 +163,28 @@ class ChainSampler:
     memoize (executable, argument) pairs). The perturbation multiply is
     enqueued inside the timed window for both chains, so its (single
     elementwise pass of) cost cancels in the slope.
+
+    ``floor_s_per_step`` (optional) is a physical lower bound on one
+    application (e.g. the HBM roofline time): a chain timing below
+    ``k * floor`` is impossible on the hardware and therefore a relay
+    artifact (collapsed chain / memoized reply) — such samples are
+    discarded *before* they can poison the global minima, instead of
+    tripping a fatal plausibility assert downstream. Rejections are
+    counted in ``rejected``.
     """
 
-    def __init__(self, step: Callable, x: jax.Array, *, k_small: int = 8, k_big: int = 500):
+    def __init__(
+        self,
+        step: Callable,
+        x: jax.Array,
+        *,
+        k_small: int = 8,
+        k_big: int = 500,
+        floor_s_per_step: float = 0.0,
+    ):
         self.k_small, self.k_big = k_small, k_big
+        self.floor = floor_s_per_step
+        self.rejected = 0
         self._small = _build_chain(step, k_small)
         self._big = _build_chain(step, k_big)
         self._x = x
@@ -188,9 +206,17 @@ class ChainSampler:
         return time.perf_counter() - t0
 
     def sample(self) -> None:
-        """One timing of each chain; keeps the per-chain global minimum."""
-        self.t_small = min(self.t_small, self._timed(self._small))
-        self.t_big = min(self.t_big, self._timed(self._big))
+        """One timing of each chain; keeps the per-chain global minimum.
+        Timings below the physical floor are artifacts and are dropped."""
+        for fn, k, attr in (
+            (self._small, self.k_small, "t_small"),
+            (self._big, self.k_big, "t_big"),
+        ):
+            t = self._timed(fn)
+            if t < k * self.floor:
+                self.rejected += 1
+            else:
+                setattr(self, attr, min(getattr(self, attr), t))
 
     @property
     def slope(self) -> float:
