@@ -12,6 +12,12 @@ f, one write of f' — is 0.12-0.16 ms depending on chip load):
 
 * **K=128 block matmuls hide behind the DMA** when the kernel advertises a
   memory-biased cost estimate: a dots-only kernel times like a pure copy.
+  Substantiated by device timeline, not just chain slopes: the committed
+  profiler capture (benchmarks/results/trace_dfdx_256, parse with
+  ``cfd_tpu.utils.xplane``) shows the fold kernel at 0.2087 ms mean vs
+  0.2043 ms for a pure elementwise read+write of the same 256^3 f32 array
+  in the same capture — the kernel's MXU/VPU work costs 2% over the copy
+  floor; the roll form reads 0.2253 ms (+10%, the exposed lane rolls).
 * **Extra in-kernel matmuls do NOT hide.** Each additional dot costs full
   (K-tile x M-tile x 6-pass) quanta of schedule time; routing the interface
   and closure corrections through two more dots measured +0.2 ms even with

@@ -63,3 +63,81 @@ def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
     )
     assert out["f"].sharding == sh
     np.testing.assert_allclose(np.asarray(out["f"]), np.asarray(f))
+
+# ---------------------------------------------------------------- xplane
+
+
+def _tag(fn, wt):
+    return bytes([(fn << 3) | wt])
+
+
+def _varint(x):
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(fn, payload):
+    return _tag(fn, 2) + _varint(len(payload)) + payload
+
+
+def _synthetic_xspace():
+    """Hand-encode an XSpace with one TPU plane: two modules, 3+2 events."""
+
+    def event(mid, dur_ps):
+        return _ld(4, _tag(1, 0) + _varint(mid) + _tag(3, 0) + _varint(dur_ps))
+
+    def meta(mid, name):
+        inner = _tag(1, 0) + _varint(mid) + _ld(2, name.encode())
+        return _ld(4, _tag(1, 0) + _varint(mid) + _ld(2, inner))
+
+    line = _ld(2, b"XLA Modules") + b"".join(
+        [event(1, 200_000_000), event(1, 250_000_000), event(1, 190_000_000),
+         event(2, 205_000_000), event(2, 210_000_000)]
+    )
+    plane = (
+        _ld(2, b"/device:TPU:0")
+        + meta(1, "jit_kernel(123)")
+        + meta(2, "jit__bench_scale(456)")
+        + _ld(3, line)
+        # a decoy host plane the parser must skip
+    )
+    host = _ld(2, b"/host:CPU") + meta(1, "python") + _ld(3, _ld(2, b"XLA Modules"))
+    return _ld(1, plane) + _ld(1, host)
+
+
+def test_xplane_parser_roundtrip(tmp_path):
+    from cfd_tpu.utils.xplane import parse_device_durations
+
+    p = tmp_path / "x.xplane.pb"
+    p.write_bytes(_synthetic_xspace())
+    durs = parse_device_durations(str(p))
+    assert set(durs) == {"jit_kernel(123)", "jit__bench_scale(456)"}
+    assert durs["jit_kernel(123)"] == [0.2, 0.25, 0.19]
+    assert durs["jit__bench_scale(456)"] == [0.205, 0.21]
+
+
+def test_xplane_latest_file_layout(tmp_path):
+    from cfd_tpu.utils.xplane import device_module_durations_ms, latest_xplane_file
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    (d / "vm.xplane.pb").write_bytes(_synthetic_xspace())
+    assert latest_xplane_file(str(tmp_path)).endswith("vm.xplane.pb")
+    durs = device_module_durations_ms(str(tmp_path))
+    assert min(durs["jit_kernel(123)"]) == 0.19
+
+
+def test_device_op_time_cpu_fallback():
+    # CPU runtimes write no /device:TPU:0 plane -> (inf, inf, 0), the
+    # signal bench.py uses to fall back to chain-slope sampling
+    from cfd_tpu.utils.profiling import device_op_time_ms
+
+    ms, floor, k = device_op_time_ms(lambda g: g + 1.0, jnp.ones((8, 8)), iters=2)
+    assert k == 0 and ms == float("inf")
