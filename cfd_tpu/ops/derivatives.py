@@ -669,13 +669,25 @@ def laplacian(
         from .pallas_pair import d2_pair_sum, d2_sum_supported
 
         if d2_sum_supported(scheme, f.shape[-2], f.shape[-1], f.dtype):
-            s = d2_pair_sum(f, dy, dx, scheme)
-            from .pallas_leading import leading_derivative, leading_supported
+            from .pallas_leading import (
+                leading_derivative,
+                leading_solve,
+                leading_supported,
+            )
 
             if f.ndim == 3 and leading_supported(scheme, f.shape[0], f.dtype):
-                # d2z through the leading-axis kernel with the xy sum as
-                # its accumuland: the add pass rides the kernel's write
+                from .pallas_lap import lap_rhs, lap_rhs_supported
+
+                if lap_rhs_supported(scheme, *f.shape, f.dtype):
+                    # four HBM passes: one streaming kernel emits
+                    # r = B_z f + T_z (d2x + d2y), one solve-only pass
+                    # turns it into the Laplacian (T y = B f + T s has
+                    # the solution y = d2z + s) — ops/pallas_lap.py
+                    return leading_solve(lap_rhs(f, dz, dy, dx, scheme), scheme)
+                # five-pass fallback: d2z with the xy sum as accumuland
+                s = d2_pair_sum(f, dy, dx, scheme)
                 return leading_derivative(f, dz, scheme, acc=s)
+            s = d2_pair_sum(f, dy, dx, scheme)
             return s + d2fdz2(f, dz, scheme, method=method)
     return (
         d2fdx2(f, dx, scheme, method=method)

@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..schemes import CompactScheme
 from .rhs import closure_ghosts
 
-__all__ = ["leading_derivative", "leading_supported"]
+__all__ = ["leading_derivative", "leading_solve", "leading_supported"]
 
 LANE = 128
 _MIN_BZ = 32  # shortest sub-block: >= closure stencil and >= 2*width+1
@@ -207,7 +207,8 @@ def _leading_kernel(
             t = wt * pair(load(k), load(-k))
             r = t if r is None else r + t
         if c0:
-            r = r + c0 * load(0)
+            t = c0 * load(0)
+            r = t if r is None else r + t
         return r
 
     def fwd_one(b, g, ys, ffs, static):
@@ -292,9 +293,12 @@ def _auto_sublanes(n: int, b1: int, n_blocks: int = 2) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scheme", "n", "nb", "halo", "interpret"),
+    static_argnames=("scheme", "n", "nb", "halo", "interpret", "solve_only"),
 )
-def _call_leading(f, gl, gr, inv_dx, acc=None, *, scheme, n, nb, halo, interpret):
+def _call_leading(
+    f, gl, gr, inv_dx, acc=None, *, scheme, n, nb, halo, interpret,
+    solve_only=False,
+):
     """f: (n, B1, B2) with B2 % 128 == 0 and B1 % 8 == 0, or (n, B) with
     B % 1024 == 0. ``acc`` (same shape as f) is added into the output."""
     w, invd, du, uh, lh, t0, rinv, rsupport, has_uh, has_lh, _ = _leading_tables(
@@ -305,7 +309,9 @@ def _call_leading(f, gl, gr, inv_dx, acc=None, *, scheme, n, nb, halo, interpret
         n=n,
         nb=nb,
         halo=halo,
-        stencil=_stencil(scheme),
+        # solve-only: the input IS the RHS — identity stencil (c0=1, no
+        # taps, derivative order 0 so the inv_dx scale is 1)
+        stencil=((), 1.0, 1.0, 0) if solve_only else _stencil(scheme),
         rsupport=rsupport,
         has_uh=has_uh,
         has_lh=has_lh,
@@ -361,6 +367,7 @@ def leading_derivative(
     *,
     acc: jax.Array = None,
     interpret: bool = False,
+    solve_only: bool = False,
 ) -> jax.Array:
     """Derivative along axis 0 of ``f`` (n, *batch) — relayout-free on
     native (nz, ny, nx) fields with ny % 8 == 0 and nx % 128 == 0.
@@ -405,8 +412,14 @@ def leading_derivative(
             return jnp.pad(a, ((0, 0), (0, Bp - B))) if Bp != B else a
 
     fx = reshape(f)
-    gl, gr = closure_ghosts(fx, scheme)
-    halo = gl.shape[0]
+    if solve_only:
+        # input is the precomputed RHS: no stencil, no ghosts (one zero
+        # ghost row keeps the block specs non-degenerate; never read)
+        gl = gr = jnp.zeros((1,) + fx.shape[1:], fx.dtype)
+        halo = 1
+    else:
+        gl, gr = closure_ghosts(fx, scheme)
+        halo = gl.shape[0]
     out = _call_leading(
         fx,
         gl,
@@ -418,7 +431,27 @@ def leading_derivative(
         nb=nb,
         halo=halo,
         interpret=interpret,
+        solve_only=solve_only,
     )
     if out.ndim == 2 and out.shape[1] != int(np.prod(bshape)):
         out = out[:, : int(np.prod(bshape))]
     return out.reshape((n,) + bshape).astype(f.dtype)
+
+
+def leading_solve(
+    rhs: jax.Array,
+    scheme: CompactScheme,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Solve ``T x = rhs`` along axis 0 with the scheme's LHS operator.
+
+    The substructured leading-axis machinery with the in-kernel RHS
+    stencil replaced by the identity — the second dispatch of the
+    four-pass Laplacian (ops/pallas_lap.py), and a general batched
+    tridiagonal solve for any precomputed right-hand side in native
+    (n, ny, nx) layout.
+    """
+    return leading_derivative(
+        rhs, 1.0, scheme, interpret=interpret, solve_only=True
+    )

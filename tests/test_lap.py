@@ -1,0 +1,102 @@
+"""Four-pass Laplacian: streaming RHS kernel + solve-only leading pass.
+
+``ops/pallas_lap.lap_rhs`` emits ``r = B_z f + T_z (d2x f + d2y f)`` in
+one pass; ``ops/pallas_leading.leading_solve`` turns it into the
+Laplacian (T y = B f + T s  =>  y = d2z + s). Interpret mode on CPU; the
+real-TPU path is exercised by bench/verify runs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+import cfd_tpu
+from cfd_tpu.oracle import derivative_np
+from cfd_tpu.ops.pallas_lap import lap_rhs, lap_rhs_supported
+from cfd_tpu.ops.pallas_leading import leading_solve
+from cfd_tpu.schemes import (
+    SCHEME4_D2,
+    SCHEME4_D2_PERIODIC,
+    SCHEME4_PERIODIC,
+    get_scheme,
+    lhs_bands,
+)
+
+D2P = [SCHEME4_D2_PERIODIC, get_scheme(6, True, 2)]
+
+
+def _lap_np(scheme, f64, dz, dy, dx):
+    return (
+        derivative_np(scheme, f64, dx, axis=-1)
+        + derivative_np(scheme, f64, dy, axis=-2)
+        + derivative_np(scheme, f64, dz, axis=-3)
+    )
+
+
+@pytest.mark.parametrize("scheme", D2P, ids=[s.name for s in D2P])
+def test_lap_rhs_solve_matches_oracle(rng, scheme):
+    nz, ny, nx = 64, 256, 256
+    f64 = np.float64(np.float32(rng.standard_normal((nz, ny, nx)) + 0.5))
+    dz, dy, dx = 0.04, 0.03, 0.02
+    assert lap_rhs_supported(scheme, nz, ny, nx, jnp.float32)
+    r = lap_rhs(jnp.asarray(f64, jnp.float32), dz, dy, dx, scheme, interpret=True)
+    got = np.asarray(leading_solve(r, scheme, interpret=True), np.float64)
+    ex = _lap_np(scheme, f64, dz, dy, dx)
+    assert np.abs(got - ex).max() / np.abs(ex).max() < 5e-4
+
+
+def test_lap_rhs_smooth_field(rng):
+    """Smooth + mean-offset field: error stays at the f32 d2 quantization
+    floor (the scale where input rounding x the scheme gain lands)."""
+    nz, ny, nx = 64, 256, 256
+    z = np.linspace(0, 2 * np.pi, nz, endpoint=False)[:, None, None]
+    y = np.linspace(0, 2 * np.pi, ny, endpoint=False)[None, :, None]
+    x = np.linspace(0, 2 * np.pi, nx, endpoint=False)[None, None, :]
+    dz, dy, dx = float(z[1, 0, 0]), float(y[0, 1, 0]), float(x[0, 0, 1])
+    f64 = np.sin(x) * np.cos(2 * y) + np.sin(z) + 3.0
+    scheme = SCHEME4_D2_PERIODIC
+    r = lap_rhs(jnp.asarray(f64, jnp.float32), dz, dy, dx, scheme, interpret=True)
+    got = np.asarray(leading_solve(r, scheme, interpret=True), np.float64)
+    ex = _lap_np(scheme, np.float64(np.float32(f64)), dz, dy, dx)
+    assert np.abs(got - ex).max() / np.abs(ex).max() < 5e-3
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_leading_solve_vs_banded(rng, periodic):
+    """Solve-only mode == scipy/dense solve of T x = rhs along axis 0."""
+    scheme = get_scheme(4, periodic, 2)
+    n = 64
+    rhs = rng.standard_normal((n, 8, 128))
+    dl, d, du = lhs_bands(scheme, n)
+    if periodic:
+        T = np.diag(d) + np.diag(du[:-1], 1) + np.diag(dl[1:], -1)
+        T[0, -1] = scheme.alpha
+        T[-1, 0] = scheme.alpha
+        ex = np.linalg.solve(T, rhs.reshape(n, -1)).reshape(rhs.shape)
+    else:
+        ab = np.zeros((3, n))
+        ab[0, 1:] = du[:-1]
+        ab[1] = d
+        ab[2, :-1] = dl[1:]
+        ex = scipy.linalg.solve_banded(
+            (1, 1), ab, rhs.reshape(n, -1)
+        ).reshape(rhs.shape)
+    got = np.asarray(
+        leading_solve(jnp.asarray(rhs, jnp.float32), scheme, interpret=True),
+        np.float64,
+    )
+    assert np.abs(got - ex).max() / np.abs(ex).max() < 1e-5
+
+
+def test_lap_rhs_supported_gates():
+    f32, f64 = jnp.float32, jnp.float64
+    assert lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 256, 256, f32)
+    # non-periodic closures are accuracy-hostile (module docstring)
+    assert not lap_rhs_supported(SCHEME4_D2, 64, 256, 256, f32)
+    # first-derivative scheme
+    assert not lap_rhs_supported(SCHEME4_PERIODIC, 64, 256, 256, f32)
+    # dtype
+    assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 256, 256, f64)
+    # ny too short for the sublane fold
+    assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 128, 256, f32)
