@@ -89,6 +89,32 @@ def test_leading_solve_vs_banded(rng, periodic):
     assert np.abs(got - ex).max() / np.abs(ex).max() < 1e-5
 
 
+@pytest.mark.parametrize("order,nz", [(4, 8), (4, 12), (6, 12)])
+def test_lap_rhs_ring_wrap_small_nbz(rng, order, nz):
+    """1-3 slab grids exercise the ring's periodic wrap arithmetic; the
+    RHS is checked directly against the dense f64 operators (nz < the
+    leading solver's minimum line)."""
+    from cfd_tpu.schemes import rhs_matrix
+
+    scheme = get_scheme(order, True, 2)
+    ny = nx = 256
+    assert lap_rhs_supported(scheme, nz, ny, nx, jnp.float32)
+    f64 = np.float64(np.float32(rng.standard_normal((nz, ny, nx)) + 0.5))
+    dz, dy, dx = 0.04, 0.03, 0.02
+    r = lap_rhs(jnp.asarray(f64, jnp.float32), dz, dy, dx, scheme, interpret=True)
+    B = rhs_matrix(scheme, nz) / dz**2
+    dl, d, du = lhs_bands(scheme, nz)
+    T = np.diag(d) + np.diag(du[:-1], 1) + np.diag(dl[1:], -1)
+    T[0, -1] = scheme.alpha
+    T[-1, 0] = scheme.alpha
+    s = derivative_np(scheme, f64, dx, axis=-1) + derivative_np(
+        scheme, f64, dy, axis=-2
+    )
+    r_ref = np.einsum("ij,jkl->ikl", B, f64) + np.einsum("ij,jkl->ikl", T, s)
+    rel = np.abs(np.asarray(r, np.float64) - r_ref).max() / np.abs(r_ref).max()
+    assert rel < 1e-5
+
+
 def test_lap_rhs_supported_gates():
     f32, f64 = jnp.float32, jnp.float64
     assert lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 256, 256, f32)
