@@ -53,6 +53,11 @@ class Derivs:
     # derivatives through it (single-device: ops.gradient, whose auto path
     # fuses dfdx+dfdy into one HBM read on TPU — ops/pallas_pair.py)
     gradient: Callable = None
+    # (f, u, q, dt, nu, a, b) -> (q', f') or None: one fully-fused RK3
+    # substep (ops/fused_step.py — four kernel dispatches, no elementwise
+    # HBM passes). None return = unsupported for these shapes; the model
+    # falls back to the generic rhs/step form.
+    fused_substep: Callable = None
 
     @classmethod
     def single_device(
@@ -70,11 +75,16 @@ class Derivs:
             else spacing
         )
         lap = None
+        fused = None
         if second_derivative:
             from ..schemes import get_scheme
 
             d2 = get_scheme(scheme.order, scheme.periodic, derivative=2)
             lap = lambda f: single.laplacian(f, (dz, dy, dx), d2, method=method)
+            if method == "auto" and scheme.derivative_order == 1:
+                from ..ops.fused_step import make_fused_substep
+
+                fused = make_fused_substep((dz, dy, dx), scheme, d2)
         return cls(
             dfdx=lambda f: single.dfdx(f, dx, scheme, method=method),
             dfdy=lambda f: single.dfdy(f, dy, scheme, method=method),
@@ -83,6 +93,7 @@ class Derivs:
             gradient=lambda f: single.gradient(
                 f, (dz, dy, dx), scheme, method=method
             ),
+            fused_substep=fused,
         )
 
     @classmethod
@@ -129,6 +140,17 @@ class AdvectionDiffusion:
         """One low-storage RK3 step (Williamson coefficients)."""
         A = (0.0, -5.0 / 9.0, -153.0 / 128.0)
         B = (1.0 / 3.0, 15.0 / 16.0, 8.0 / 15.0)
+        fs = self.derivs.fused_substep
+        if fs is not None:
+            # fully-fused substeps (ops/fused_step.py): four kernel
+            # dispatches each, zero elementwise HBM passes. The first call
+            # doubles as the trace-time support probe (None = fall back).
+            out = fs(f, u, None, dt, self.nu, A[0], B[0])
+            if out is not None:
+                q, fc = out
+                for a, b in zip(A[1:], B[1:]):
+                    q, fc = fs(fc, u, q, dt, self.nu, a, b)
+                return fc
         q = jnp.zeros_like(f)
         for a, b in zip(A, B):
             q = a * q + dt * self.rhs(f, u)

@@ -52,6 +52,25 @@ class Burgers:
     def step(self, u, dt):
         A = (0.0, -5.0 / 9.0, -153.0 / 128.0)
         B = (1.0 / 3.0, 15.0 / 16.0, 8.0 / 15.0)
+        fs = self.derivs.fused_substep
+        if fs is not None:
+            # the advecting field is frozen within a substep, so each
+            # component is exactly one fused advection-diffusion substep
+            # (ops/fused_step.py) against the substep-start velocity
+            first = fs(u[0], u, None, dt, self.nu, A[0], B[0])
+            if first is not None:
+                q = [None, None, None]
+                cur = list(u)
+                for si, (a, b) in enumerate(zip(A, B)):
+                    frozen = tuple(cur)
+                    for i in range(3):
+                        if si == 0 and i == 0:
+                            q[0], cur[0] = first
+                        else:
+                            q[i], cur[i] = fs(
+                                frozen[i], frozen, q[i], dt, self.nu, a, b
+                            )
+                return tuple(cur)
         q = tuple(jnp.zeros_like(c) for c in u)
         for a, b in zip(A, B):
             r = self.rhs(u)

@@ -1,0 +1,112 @@
+"""Fused RK3 advection–diffusion substep: four kernel dispatches, no
+elementwise HBM passes.
+
+One Williamson RK3 substep of df/dt = -(u . grad f) + nu * lap f is,
+unfused, ~20 HBM passes at 256^3: the pair kernel (1 read, 2 writes), the
+leading d1 kernel (1+1), the four-pass Laplacian (2+2), and an XLA
+elementwise pass reading NINE arrays (ux, uy, uz, fx, fy, fz, lap, q, f)
+and writing two — measured at 42% of the whole step's device time
+(docs/RESULTS.md round-3 profile: 2.58 of 6.19 ms/step).
+
+This module chains the kernels' fused epilogues so no derivative, no
+advection product, and no RK state ever makes a dedicated HBM trip:
+
+    axy = advection_pair(f, ux, uy)            # ux*fx + uy*fy   (3r + 1w)
+    r   = lap_rhs(f)                           # B_z f + T_z(d2x+d2y) (1r+1w)
+    adv = leading_derivative(f, mul=uz, acc=axy)  # axy + uz*fz  (3r + 1w)
+    q', f' = rk3_solve_update(r, adv, q, f)    # lap solve + update (4r + 2w)
+
+16 passes, 4 dispatches, zero XLA elementwise traffic. Results match the
+generic ``AdvectionDiffusion.step`` to f32 arithmetic (same operators,
+same tables — the derivatives are bit-identical to the unfused kernels;
+only the elementwise evaluation order differs).
+
+Requires: 3-D float32 fields, a derivative_order=1 scheme the pair and
+leading kernels serve, and a PERIODIC derivative_order=2 scheme (the
+``lap_rhs`` change of variables is closure-hostile — ops/pallas_lap.py).
+Callers fall back to the generic rhs/step path otherwise.
+
+Reference lineage: the reference has no fused production step at all —
+its multi-GPU harness times repeated bare dfdx calls
+(/root/reference/perf-test/multi-GPU/PyCUDA/run.py:47-58); this is the
+production shape those calls approximate, built TPU-first.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..schemes import CompactScheme
+
+__all__ = ["fused_substep_supported", "make_fused_substep"]
+
+
+def fused_substep_supported(shape, dtype, scheme: CompactScheme, d2: CompactScheme) -> bool:
+    """Whether the four-dispatch fused substep serves this configuration."""
+    from .pallas_lap import lap_rhs_supported
+    from .pallas_leading import (
+        LANE,
+        _auto_sublanes,
+        leading_supported,
+        rk3_update_supported,
+    )
+    from .pallas_pair import adv_pair_supported
+
+    if len(shape) != 3 or dtype != jnp.float32:
+        return False
+    nz, ny, nx = shape
+    return (
+        adv_pair_supported(scheme, ny, nx, dtype)
+        and lap_rhs_supported(d2, nz, ny, nx, dtype)
+        and leading_supported(scheme, nz, dtype)
+        # the d1+advection dispatch streams 4 blocks (f, uz, axy, out)
+        and nx % LANE == 0
+        and ny % 8 == 0
+        and _auto_sublanes(nz, ny, 4) > 0
+        and rk3_update_supported(d2, shape, dtype, has_q=True)
+    )
+
+
+def make_fused_substep(spacing, scheme: CompactScheme, d2: CompactScheme, *, interpret: bool = False):
+    """Build ``substep(f, u, q, dt, nu, a, b) -> (q', f') | None``.
+
+    The returned callable decides support at trace time from the field's
+    shape/dtype/backend and returns ``None`` when the fused path does not
+    apply — the model then runs its generic rhs/step form. ``q=None``
+    encodes the first substep (a == 0).
+    """
+    if scheme.derivative_order != 1:
+        raise ValueError(
+            f"scheme {scheme.name!r} must be a first-derivative scheme"
+        )
+    if d2.derivative_order != 2:
+        raise ValueError(
+            f"d2 scheme {d2.name!r} must be a derivative_order=2 scheme"
+        )
+    dz, dy, dx = (
+        (spacing, spacing, spacing)
+        if isinstance(spacing, (int, float))
+        else spacing
+    )
+
+    def substep(f, u, q, dt, nu, a, b):
+        if not interpret and jax.default_backend() != "tpu":
+            return None
+        if not fused_substep_supported(f.shape, f.dtype, scheme, d2):
+            return None
+        from .pallas_lap import lap_rhs
+        from .pallas_leading import leading_derivative, rk3_solve_update
+        from .pallas_pair import advection_pair
+
+        ux, uy, uz = u
+        axy = advection_pair(f, ux, uy, dy, dx, scheme, interpret=interpret)
+        r = lap_rhs(f, dz, dy, dx, d2, interpret=interpret)
+        adv = leading_derivative(
+            f, dz, scheme, mul=uz, acc=axy, interpret=interpret
+        )
+        return rk3_solve_update(
+            r, adv, q, f, d2, a=a, b=b, dt=dt, nu=nu, interpret=interpret
+        )
+
+    return substep

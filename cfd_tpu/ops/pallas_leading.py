@@ -61,7 +61,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..schemes import CompactScheme
 from .rhs import closure_ghosts
 
-__all__ = ["leading_derivative", "leading_solve", "leading_supported"]
+__all__ = [
+    "leading_derivative",
+    "leading_solve",
+    "leading_supported",
+    "rk3_solve_update",
+    "rk3_update_supported",
+]
 
 LANE = 128
 _MIN_BZ = 32  # shortest sub-block: >= closure stencil and >= 2*width+1
@@ -166,21 +172,47 @@ def _leading_kernel(
     rsupport,
     has_uh,
     has_lh,
-    has_acc: bool,
+    has_mul: bool = False,
+    has_acc: bool = False,
+    rk: bool = False,
+    has_q: bool = False,
 ):
     """nb interleaved sub-block Thomas chains + in-sweep interface update.
 
     f_ref/out_ref: (n, S, 128) native-layout block (or (n, W) for 2-D
     batches); gl/gr: (halo, ...) ghost rows; everything else SMEM scalars.
-    With ``has_acc`` an extra (n, ...) accumuland block rides along and is
-    added into the final backward-sweep write (the Laplacian's d2x+d2y sum
-    — saves the separate elementwise add pass over HBM).
+    Epilogues fused into the backward sweep's final write (each an extra
+    (n, ...) block input riding along — saves the corresponding elementwise
+    HBM pass):
+      * ``has_mul``: the result is multiplied pointwise (the advection
+        term's uz weight);
+      * ``has_acc``: an accumuland is added (the Laplacian's d2x+d2y sum,
+        or the advection term's xy part);
+      * ``rk``: the solve result is a Laplacian and the kernel emits a
+        full Williamson RK3 substep — refs are (scal, adv, fin[, q],
+        qout, fout) with scal = [a, b, dt, dt*nu] in SMEM, computing
+        ``q' = a*q + dt*(nu*lap - adv)`` and ``f' = fin + b*q'``
+        (``has_q`` False on the first substep, where a == 0). The qout
+        block doubles as the forward-sweep scratch.
     """
-    if has_acc:
-        acc_ref, out_ref = refs
+    mul_ref = acc_ref = None
+    scal_ref = adv_ref = fin_ref = q_ref = fout_ref = None
+    if rk:
+        scal_ref, adv_ref, fin_ref = refs[:3]
+        rest = refs[3:]
+        if has_q:
+            q_ref, out_ref, fout_ref = rest
+        else:
+            out_ref, fout_ref = rest
     else:
-        (out_ref,) = refs
-        acc_ref = None
+        idx = 0
+        if has_mul:
+            mul_ref = refs[idx]
+            idx += 1
+        if has_acc:
+            acc_ref = refs[idx]
+            idx += 1
+        out_ref = refs[idx]
     taps, sgn, c0, dord = stencil
     bz = n // nb
     s = 1.0
@@ -270,10 +302,22 @@ def _leading_kernel(
                 tot = tot + us[2 * b] * uh_ref[g]
             if has_lh[b]:
                 tot = tot + us[2 * b + 1] * lh_ref[g]
-            res = tot * s
-            if has_acc:
-                res = res + acc_ref[pl.ds(g, 1)]
-            out_ref[pl.ds(g, 1)] = res
+            if rk:
+                # tot IS the Laplacian (solve-only: s == 1); emit the
+                # Williamson substep: q' = a*q + dt*nu*lap - dt*adv,
+                # f' = fin + b*q' — all on resident rows, no extra pass
+                qn = scal_ref[3] * tot - scal_ref[2] * adv_ref[pl.ds(g, 1)]
+                if has_q:
+                    qn = qn + scal_ref[0] * q_ref[pl.ds(g, 1)]
+                out_ref[pl.ds(g, 1)] = qn
+                fout_ref[pl.ds(g, 1)] = fin_ref[pl.ds(g, 1)] + scal_ref[1] * qn
+            else:
+                res = tot * s
+                if has_mul:
+                    res = res * mul_ref[pl.ds(g, 1)]
+                if has_acc:
+                    res = res + acc_ref[pl.ds(g, 1)]
+                out_ref[pl.ds(g, 1)] = res
             xs[b] = x
         return tuple(xs)
 
@@ -296,11 +340,11 @@ def _auto_sublanes(n: int, b1: int, n_blocks: int = 2) -> int:
     static_argnames=("scheme", "n", "nb", "halo", "interpret", "solve_only"),
 )
 def _call_leading(
-    f, gl, gr, inv_dx, acc=None, *, scheme, n, nb, halo, interpret,
+    f, gl, gr, inv_dx, acc=None, mul=None, *, scheme, n, nb, halo, interpret,
     solve_only=False,
 ):
     """f: (n, B1, B2) with B2 % 128 == 0 and B1 % 8 == 0, or (n, B) with
-    B % 1024 == 0. ``acc`` (same shape as f) is added into the output."""
+    B % 1024 == 0. ``mul`` multiplies / ``acc`` adds into the output."""
     w, invd, du, uh, lh, t0, rinv, rsupport, has_uh, has_lh, _ = _leading_tables(
         scheme, n
     )
@@ -315,11 +359,13 @@ def _call_leading(
         rsupport=rsupport,
         has_uh=has_uh,
         has_lh=has_lh,
+        has_mul=mul is not None,
         has_acc=acc is not None,
     )
+    n_extra = (acc is not None) + (mul is not None)
     if f.ndim == 3:
         B1, B2 = f.shape[1:]
-        S = _auto_sublanes(n, B1, 2 if acc is None else 3)
+        S = _auto_sublanes(n, B1, 2 + n_extra)
         grid = (B1 // S, B2 // LANE)
         block = lambda lead: pl.BlockSpec(
             (lead, S, LANE), lambda j, k: (0, j, k), memory_space=pltpu.VMEM
@@ -333,8 +379,9 @@ def _call_leading(
         )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     cdt = jnp.float32
-    extra_specs = [block(n)] if acc is not None else []
-    extra_args = [acc.astype(cdt)] if acc is not None else []
+    extras = [a for a in (mul, acc) if a is not None]  # kernel unpack order
+    extra_specs = [block(n)] * len(extras)
+    extra_args = [a.astype(cdt) for a in extras]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(f.shape, cdt),
@@ -345,7 +392,7 @@ def _call_leading(
         out_specs=block(n),
         cost_estimate=pl.CostEstimate(
             flops=12 * f.size,
-            bytes_accessed=(3 if acc is not None else 2) * f.size * 4,
+            bytes_accessed=(2 + n_extra) * f.size * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -366,23 +413,27 @@ def leading_derivative(
     scheme: CompactScheme,
     *,
     acc: jax.Array = None,
+    mul: jax.Array = None,
     interpret: bool = False,
     solve_only: bool = False,
 ) -> jax.Array:
     """Derivative along axis 0 of ``f`` (n, *batch) — relayout-free on
     native (nz, ny, nx) fields with ny % 8 == 0 and nx % 128 == 0.
 
-    ``acc`` (same shape as f) is added into the output inside the kernel's
-    final write — ``laplacian`` passes the fused d2x+d2y sum here, saving
-    the separate elementwise add pass over HBM.
+    ``acc`` / ``mul`` (same shape as f) fuse into the kernel's final
+    write as ``out = mul * deriv + acc`` — ``laplacian`` passes the
+    d2x+d2y sum as ``acc``; the fused RK3 advection term passes the uz
+    velocity as ``mul`` and the xy advection part as ``acc``. Each saves
+    its elementwise pass over HBM.
     """
     if f.dtype not in (jnp.float32, jnp.bfloat16):
         raise ValueError(
             "the Pallas path supports float32/bfloat16 only; use method='pcr' "
             "for float64 (oracle-parity) runs"
         )
-    if acc is not None and acc.shape != f.shape:
-        raise ValueError(f"acc shape {acc.shape} != field shape {f.shape}")
+    for name, a in (("acc", acc), ("mul", mul)):
+        if a is not None and a.shape != f.shape:
+            raise ValueError(f"{name} shape {a.shape} != field shape {f.shape}")
     n = f.shape[0]
     nb = _pick_nb(n)
     if nb < 2:
@@ -394,7 +445,7 @@ def leading_derivative(
     # native 3-D path when the trailing dims tile cleanly; otherwise flatten
     # the batch (XLA inserts the relayout the native path exists to avoid —
     # still correct, just not the fast path)
-    n_blocks = 2 if acc is None else 3
+    n_blocks = 2 + (acc is not None) + (mul is not None)
     if (
         f.ndim >= 3
         and f.shape[-1] % LANE == 0
@@ -426,6 +477,7 @@ def leading_derivative(
         gr,
         jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32),
         reshape(acc) if acc is not None else None,
+        reshape(mul) if mul is not None else None,
         scheme=scheme,
         n=n,
         nb=nb,
@@ -455,3 +507,154 @@ def leading_solve(
     return leading_derivative(
         rhs, 1.0, scheme, interpret=interpret, solve_only=True
     )
+
+
+# ---------------------------------------------------------------------------
+# fused RK3 substep: Laplacian solve + Williamson update in one dispatch
+# ---------------------------------------------------------------------------
+
+
+def rk3_update_supported(scheme: CompactScheme, shape, dtype, has_q=True) -> bool:
+    """Whether the fused solve+RK-update kernel applies to a (nz, ny, nx)
+    field: the leading kernel's constraints plus VMEM room for the six
+    resident block streams (r, adv, fin, q, q', f')."""
+    if len(shape) != 3 or dtype != jnp.float32:
+        return False
+    nz, ny, nx = shape
+    if not leading_supported(scheme, nz, dtype):
+        return False
+    n_blocks = 6 if has_q else 5  # r, adv, fin (+q) in; q', f' out
+    return (
+        nx % LANE == 0
+        and ny % 8 == 0
+        and _auto_sublanes(nz, ny, n_blocks) > 0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scheme", "n", "nb", "interpret", "has_q")
+)
+def _call_rk3(r, adv, fin, q, scal, *, scheme, n, nb, interpret, has_q):
+    """r/adv/fin/q: (n, B1, B2) blocks; scal = [a, b, dt, dt*nu] (SMEM).
+
+    Returns (q', f') of the Williamson substep with lap = T^{-1} r.
+    """
+    w, invd, du, uh, lh, t0, rinv, rsupport, has_uh, has_lh, _ = _leading_tables(
+        scheme, n
+    )
+    kernel = functools.partial(
+        _leading_kernel,
+        n=n,
+        nb=nb,
+        halo=1,
+        stencil=((), 1.0, 1.0, 0),  # solve-only: input IS the RHS
+        rsupport=rsupport,
+        has_uh=has_uh,
+        has_lh=has_lh,
+        rk=True,
+        has_q=has_q,
+    )
+    B1, B2 = r.shape[1:]
+    # resident block streams: r, adv, fin (+q) in, q' + f' out
+    S = _auto_sublanes(n, B1, 6 if has_q else 5)
+    grid = (B1 // S, B2 // LANE)
+    block = lambda lead: pl.BlockSpec(
+        (lead, S, LANE), lambda j, k: (0, j, k), memory_space=pltpu.VMEM
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    cdt = jnp.float32
+    extra = [adv.astype(cdt), fin.astype(cdt)]
+    extra_specs = [block(n), block(n)]
+    if has_q:
+        extra.append(q.astype(cdt))
+        extra_specs.append(block(n))
+    gl = jnp.zeros((1,) + r.shape[1:], cdt)  # never read (solve-only)
+    qout, fout = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(r.shape, cdt),
+            jax.ShapeDtypeStruct(r.shape, cdt),
+        ),
+        grid=grid,
+        in_specs=[smem(), block(n), block(1), block(1)]
+        + [smem()] * 7
+        + [smem()]
+        + extra_specs,
+        out_specs=(block(n), block(n)),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * r.size,
+            bytes_accessed=(6 if has_q else 5) * r.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.ones((1,), cdt),  # inv_dx unused at derivative order 0
+        r.astype(cdt),
+        gl,
+        gl,
+        *(jnp.asarray(a) for a in (w, invd, du, uh, lh, t0, rinv)),
+        scal.astype(cdt),
+        *extra,
+    )
+    return qout, fout
+
+
+def rk3_solve_update(
+    r: jax.Array,
+    adv: jax.Array,
+    q,
+    fin: jax.Array,
+    scheme: CompactScheme,
+    *,
+    a,
+    b,
+    dt,
+    nu,
+    interpret: bool = False,
+):
+    """Fused Williamson RK3 substep finisher: one dispatch computes
+    ``lap = T_z^{-1} r`` (the four-pass Laplacian's solve, with ``r``
+    from ops/pallas_lap.lap_rhs) and emits
+
+        q' = a*q + dt*(nu*lap - adv)        f' = fin + b*q'
+
+    inside the backward sweep — the solve's 1 read + 1 write grows to
+    4 reads + 2 writes, but the separate 9-read elementwise RK pass
+    disappears entirely. ``q=None`` encodes the first substep (a == 0).
+    Returns ``(q', f')`` in ``fin``'s dtype.
+    """
+    if r.ndim != 3:
+        raise ValueError(f"rk3_solve_update needs (nz, ny, nx) fields, got {r.shape}")
+    if not rk3_update_supported(scheme, r.shape, r.dtype, has_q=q is not None):
+        raise ValueError(
+            f"rk3 update kernel unsupported for shape {r.shape} dtype "
+            f"{r.dtype} scheme {scheme.name}"
+        )
+    for name, arr in (("adv", adv), ("fin", fin)) + (
+        (("q", q),) if q is not None else ()
+    ):
+        if arr.shape != r.shape:
+            raise ValueError(f"{name} shape {arr.shape} != rhs shape {r.shape}")
+    n = r.shape[0]
+    nb = _pick_nb(n)
+    scal = jnp.stack(
+        [
+            jnp.asarray(a, jnp.float32),
+            jnp.asarray(b, jnp.float32),
+            jnp.asarray(dt, jnp.float32),
+            jnp.asarray(dt, jnp.float32) * jnp.asarray(nu, jnp.float32),
+        ]
+    )
+    qout, fout = _call_rk3(
+        r,
+        adv,
+        fin,
+        q if q is not None else r,  # placeholder, unused when has_q=False
+        scal,
+        scheme=scheme,
+        n=n,
+        nb=nb,
+        interpret=interpret,
+        has_q=q is not None,
+    )
+    return qout.astype(fin.dtype), fout.astype(fin.dtype)

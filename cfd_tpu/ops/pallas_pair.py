@@ -60,7 +60,14 @@ from .pallas_sublane import (
     sublane_supported,
 )
 
-__all__ = ["gradient_pair", "pair_supported", "d2_pair_sum", "d2_sum_supported"]
+__all__ = [
+    "gradient_pair",
+    "pair_supported",
+    "d2_pair_sum",
+    "d2_sum_supported",
+    "advection_pair",
+    "adv_pair_supported",
+]
 
 # VMEM budget: ~11 resident tiles (in x2 double-buffered, 2 outs x2,
 # ~5 temporaries) must fit in ~12 MB -> tile cap 512x512 f32.
@@ -77,16 +84,14 @@ def pair_supported(scheme: CompactScheme, ny: int, nx: int, dtype) -> bool:
     )
 
 
-def _pair_kernel(
-    f_ref,
+def _d1_blocks(
+    f,
     xt_ref,
     xd_ref,
     xe_ref,
     yt_ref,
     yd_ref,
     yq_ref,
-    outx_ref,
-    outy_ref,
     *,
     nx: int,
     ny: int,
@@ -96,10 +101,9 @@ def _pair_kernel(
     scheme: CompactScheme,
     compute_dtype,
 ):
-    """One (1, ny, nx) plane -> dfdx and dfdy of the resident tile."""
+    """Both-axis d1 block lists of a resident (ny, nx) tile — the shared
+    body of the pair kernels (x: lane fold/roll, y: sublane roll)."""
     m = BLOCK_LANES
-    f = f_ref[0]
-
     if x_fold:
         edges_meta, d_nonzero, d_blocks = x_meta
         xblocks = lane_fold_blocks(
@@ -130,8 +134,6 @@ def _pair_kernel(
             compute_dtype=compute_dtype,
             d_blocks=d_blocks,
         )
-    for b in range(nx // m):
-        outx_ref[0, :, m * b : m * (b + 1)] = xblocks[b].astype(outx_ref.dtype)
 
     closure_taps, closure_blocks, d_nonzero, wfold, d_blocks_y = y_meta
     yblocks = sublane_roll_blocks(
@@ -149,6 +151,48 @@ def _pair_kernel(
         compute_dtype=compute_dtype,
         d_blocks=d_blocks_y,
     )
+    return xblocks, yblocks
+
+
+def _pair_kernel(
+    f_ref,
+    xt_ref,
+    xd_ref,
+    xe_ref,
+    yt_ref,
+    yd_ref,
+    yq_ref,
+    outx_ref,
+    outy_ref,
+    *,
+    nx: int,
+    ny: int,
+    x_fold: bool,
+    x_meta,
+    y_meta,
+    scheme: CompactScheme,
+    compute_dtype,
+):
+    """One (1, ny, nx) plane -> dfdx and dfdy of the resident tile."""
+    m = BLOCK_LANES
+    xblocks, yblocks = _d1_blocks(
+        f_ref[0],
+        xt_ref,
+        xd_ref,
+        xe_ref,
+        yt_ref,
+        yd_ref,
+        yq_ref,
+        nx=nx,
+        ny=ny,
+        x_fold=x_fold,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        scheme=scheme,
+        compute_dtype=compute_dtype,
+    )
+    for b in range(nx // m):
+        outx_ref[0, :, m * b : m * (b + 1)] = xblocks[b].astype(outx_ref.dtype)
     for b in range(ny // m):
         outy_ref[0, m * b : m * (b + 1), :] = yblocks[b].astype(outy_ref.dtype)
 
@@ -243,7 +287,17 @@ def gradient_pair(
     B = int(np.prod(lead)) if lead else 1
     f3 = f.reshape(B, ny, nx)
     x_fold = nx <= FOLD_MAX
+    xt, xd, xe, yt, yd, yq = _d1_pair_tables(scheme, ny, nx, dy, dx, x_fold)
+    outx, outy = _call_pair(
+        f3, xt, xd, xe, yt, yd, yq,
+        scheme=scheme, ny=ny, nx=nx, x_fold=x_fold, interpret=interpret,
+    )
+    return outx.reshape(f.shape), outy.reshape(f.shape)
 
+
+def _d1_pair_tables(scheme, ny, nx, dy, dx, x_fold):
+    """(xt, xd, xe, yt, yd, yq) device tables for the d1 pair kernels —
+    x-part fold (nx <= FOLD_MAX) or roll, y-part roll, spacing folded in."""
     inv_dx = jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)
     if x_fold:
         Mt, E, _ = _fold_tables(scheme, nx)
@@ -268,12 +322,179 @@ def gradient_pair(
     yt = jnp.asarray(T_y) * scale_y
     yd = jnp.asarray(D_y.T)
     yq = jnp.asarray(Q_y.T) * scale_y
+    return xt, xd, xe, yt, yd, yq
 
-    outx, outy = _call_pair(
-        f3, xt, xd, xe, yt, yd, yq,
+
+# ---------------------------------------------------------------------------
+# advection pair: ux*dfdx + uy*dfdy in one kernel (the RK3 step's xy part)
+# ---------------------------------------------------------------------------
+
+
+def adv_pair_supported(scheme: CompactScheme, ny: int, nx: int, dtype) -> bool:
+    """Whether the fused xy advection kernel applies (d1 schemes, f32)."""
+    # f32 only: on bf16 fields the single-pass matmul path is faster than
+    # the f32-internal HIGHEST dots (ops/derivatives.py gradient notes)
+    return dtype == jnp.float32 and pair_supported(scheme, ny, nx, dtype)
+
+
+def _adv_pair_kernel(
+    f_ref,
+    ux_ref,
+    uy_ref,
+    xt_ref,
+    xd_ref,
+    xe_ref,
+    yt_ref,
+    yd_ref,
+    yq_ref,
+    out_ref,
+    *,
+    nx: int,
+    ny: int,
+    x_fold: bool,
+    x_meta,
+    y_meta,
+    scheme: CompactScheme,
+    compute_dtype,
+):
+    """One (1, ny, nx) plane -> ux*dfdx + uy*dfdy of the resident tile."""
+    m = BLOCK_LANES
+    xblocks, yblocks = _d1_blocks(
+        f_ref[0],
+        xt_ref,
+        xd_ref,
+        xe_ref,
+        yt_ref,
+        yd_ref,
+        yq_ref,
+        nx=nx,
+        ny=ny,
+        x_fold=x_fold,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        scheme=scheme,
+        compute_dtype=compute_dtype,
+    )
+    # x blocks partition the lanes, y blocks the sublanes: write the
+    # ux-weighted x part, then accumulate the uy-weighted y part into the
+    # resident out tile (VMEM read-modify-write; no extra HBM traffic)
+    for b in range(nx // m):
+        sl = slice(m * b, m * (b + 1))
+        out_ref[0, :, sl] = (
+            ux_ref[0, :, sl].astype(compute_dtype) * xblocks[b]
+        ).astype(out_ref.dtype)
+    for b in range(ny // m):
+        sl = slice(m * b, m * (b + 1))
+        out_ref[0, sl, :] = out_ref[0, sl, :] + (
+            uy_ref[0, sl, :].astype(compute_dtype) * yblocks[b]
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scheme", "ny", "nx", "x_fold", "interpret")
+)
+def _call_adv_pair(
+    f3, ux3, uy3, xt, xd, xe, yt, yd, yq, *, scheme, ny, nx, x_fold, interpret
+):
+    B = f3.shape[0]
+    if x_fold:
+        _, _, edges_meta = _fold_tables(scheme, nx)
+        _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, nx)
+        x_meta = (edges_meta, d_nonzero, d_block_map(scheme, nx))
+    else:
+        _, _, _, ct, cb, d_nonzero, wfold = _lane_tables(scheme, nx)
+        x_meta = (ct, cb, d_nonzero, wfold, d_block_map(scheme, nx))
+    _, _, _, cty, cby, d_nonzero_y, wfold_y = _lane_tables(scheme, ny)
+    y_meta = (cty, cby, d_nonzero_y, wfold_y, d_block_map(scheme, ny))
+    kernel = functools.partial(
+        _adv_pair_kernel,
+        nx=nx,
+        ny=ny,
+        x_fold=x_fold,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        scheme=scheme,
+        compute_dtype=jnp.float32,
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, ny, nx), f3.dtype),
+        grid=(B,),
+        in_specs=[
+            plane(),
+            plane(),
+            plane(),
+            whole(xt),
+            whole(xd),
+            whole(xe),
+            whole(yt),
+            whole(yd),
+            whole(yq),
+        ],
+        out_specs=plane(),
+        # memory-biased estimate (3 reads + 1 write)
+        cost_estimate=pl.CostEstimate(
+            flops=18 * B * ny * nx,
+            bytes_accessed=4 * B * ny * nx * f3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(f3, ux3, uy3, xt, xd, xe, yt, yd, yq)
+
+
+def advection_pair(
+    f: jax.Array,
+    ux: jax.Array,
+    uy: jax.Array,
+    dy,
+    dx,
+    scheme: CompactScheme,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """``ux * df/dx + uy * df/dy`` of ``f`` (..., ny, nx) in one kernel.
+
+    The xy part of an advection term u . grad f: three HBM reads and ONE
+    write, where the unfused pipeline costs the pair kernel's 1+2 plus a
+    4-read elementwise dot pass (the derivatives fx/fy never touch HBM
+    here). Block bodies are shared with ``gradient_pair`` (bit-identical
+    derivatives); the velocity weighting rides the in-VMEM output tile.
+    Fuses what the reference computes as separate derivative launches plus
+    host/elementwise arithmetic (its multi-GPU harness runs repeated dfdx
+    calls, perf-test/multi-GPU/PyCUDA/run.py:47-58; an advection RHS is
+    the production shape of that workload).
+    """
+    ny, nx = f.shape[-2], f.shape[-1]
+    if not adv_pair_supported(scheme, ny, nx, f.dtype):
+        raise ValueError(
+            f"advection pair kernel unsupported for shape (..., {ny}, {nx}) "
+            f"dtype {f.dtype} scheme {scheme.name}"
+        )
+    if ux.shape != f.shape or uy.shape != f.shape:
+        raise ValueError(
+            f"velocity shapes {ux.shape}/{uy.shape} != field shape {f.shape}"
+        )
+    lead = f.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    x_fold = nx <= FOLD_MAX
+    xt, xd, xe, yt, yd, yq = _d1_pair_tables(scheme, ny, nx, dy, dx, x_fold)
+    out = _call_adv_pair(
+        f.reshape(B, ny, nx),
+        ux.astype(f.dtype).reshape(B, ny, nx),
+        uy.astype(f.dtype).reshape(B, ny, nx),
+        xt, xd, xe, yt, yd, yq,
         scheme=scheme, ny=ny, nx=nx, x_fold=x_fold, interpret=interpret,
     )
-    return outx.reshape(f.shape), outy.reshape(f.shape)
+    return out.reshape(f.shape)
 
 
 # ---------------------------------------------------------------------------

@@ -95,3 +95,69 @@ def test_dfdz_pallas_method_routes_to_leading(rng):
     ref = derivative_np(SCHEME4, np.float64(np.float32(f64)), 0.02, axis=0)
     rel = np.abs(np.asarray(out, np.float64) - ref).max() / np.abs(ref).max()
     assert rel < 5e-6
+
+
+def test_leading_mul_acc_fusion(rng):
+    """mul/acc epilogue: out == mul * deriv + acc exactly up to f32 ordering."""
+    f = jnp.asarray(rng.standard_normal((128, 8, 128)), jnp.float32)
+    uz = jnp.asarray(rng.standard_normal((128, 8, 128)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((128, 8, 128)), jnp.float32)
+    base = leading_derivative(f, 0.02, SCHEME4_PERIODIC, interpret=True)
+    fused = leading_derivative(
+        f, 0.02, SCHEME4_PERIODIC, mul=uz, acc=a, interpret=True
+    )
+    ref = uz * base + a
+    err = float(jnp.max(jnp.abs(fused - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 1e-6, err
+    with pytest.raises(ValueError):
+        leading_derivative(
+            f, 0.02, SCHEME4_PERIODIC, mul=uz[:, :4], interpret=True
+        )
+
+
+def test_rk3_solve_update_matches_unfused(rng):
+    """Fused solve+RK substep == leading_solve + the explicit Williamson
+    update, for both the q-carrying and the first (q=None) substep."""
+    from cfd_tpu.ops.pallas_leading import (
+        leading_solve,
+        rk3_solve_update,
+        rk3_update_supported,
+    )
+    from cfd_tpu.schemes import get_scheme
+
+    s2 = get_scheme(4, True, derivative=2)
+    shp = (64, 16, 128)
+    r = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    adv = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    fin = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    a, b, dt, nu = -5.0 / 9.0, 15.0 / 16.0, 1e-3, 1e-2
+    assert rk3_update_supported(s2, shp, jnp.float32)
+    lap = leading_solve(r, s2, interpret=True)
+
+    qn, fn = rk3_solve_update(
+        r, adv, q0, fin, s2, a=a, b=b, dt=dt, nu=nu, interpret=True
+    )
+    q_ref = a * q0 + dt * (nu * lap - adv)
+    f_ref = fin + b * q_ref
+    assert float(jnp.max(jnp.abs(qn - q_ref))) < 2e-6 * float(
+        jnp.max(jnp.abs(q_ref))
+    ) + 1e-12
+    assert float(jnp.max(jnp.abs(fn - f_ref))) < 2e-6 * float(
+        jnp.max(jnp.abs(f_ref))
+    )
+
+    qn0, fn0 = rk3_solve_update(
+        r, adv, None, fin, s2, a=0.0, b=1.0 / 3.0, dt=dt, nu=nu, interpret=True
+    )
+    q_ref0 = dt * (nu * lap - adv)
+    assert float(jnp.max(jnp.abs(qn0 - q_ref0))) < 2e-6 * float(
+        jnp.max(jnp.abs(q_ref0))
+    ) + 1e-12
+    assert float(jnp.max(jnp.abs(fn0 - (fin + q_ref0 / 3.0)))) < 2e-6 * float(
+        jnp.max(jnp.abs(fin))
+    )
+    with pytest.raises(ValueError):
+        rk3_solve_update(
+            r, adv[:, :4], q0, fin, s2, a=a, b=b, dt=dt, nu=nu, interpret=True
+        )

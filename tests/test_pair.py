@@ -61,6 +61,58 @@ def test_pair_matches_single_kernels(rng):
     np.testing.assert_array_equal(np.asarray(gy), np.asarray(sy))
 
 
+def test_advection_pair_matches_pair_dot(rng):
+    """advection_pair == ux*dfdx + uy*dfdy with the pair kernel's own
+    derivatives (shared block bodies -> only the dot's rounding differs)."""
+    from cfd_tpu.ops.pallas_pair import advection_pair, adv_pair_supported
+
+    f = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    ux = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    uy = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    for scheme in (SCHEME4_PERIODIC, SCHEME4):
+        assert adv_pair_supported(scheme, 256, 256, jnp.float32)
+        got = advection_pair(f, ux, uy, 0.03, 0.02, scheme, interpret=True)
+        gx, gy = gradient_pair(f, 0.03, 0.02, scheme, interpret=True)
+        ref = ux * gx + uy * gy
+        err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 1e-6, (scheme.name, err)
+
+
+def test_advection_pair_oracle(rng):
+    """advection_pair vs the float64 oracle's derivatives."""
+    from cfd_tpu.ops.pallas_pair import advection_pair
+
+    f64 = rng.standard_normal((2, 256, 256)) + 0.5
+    u64 = rng.standard_normal((2, 2, 256, 256))
+    f = jnp.asarray(f64, jnp.float32)
+    got = np.asarray(
+        advection_pair(
+            f,
+            jnp.asarray(u64[0], jnp.float32),
+            jnp.asarray(u64[1], jnp.float32),
+            0.03,
+            0.02,
+            SCHEME4_PERIODIC,
+            interpret=True,
+        ),
+        np.float64,
+    )
+    c64 = np.float64(np.float32(f64))
+    ex = np.float64(np.float32(u64[0])) * derivative_np(
+        SCHEME4_PERIODIC, c64, 0.02, axis=-1
+    ) + np.float64(np.float32(u64[1])) * derivative_np(
+        SCHEME4_PERIODIC, c64, 0.03, axis=-2
+    )
+    assert np.abs(got - ex).max() / np.abs(ex).max() < 5e-5
+
+
+def test_adv_pair_supported_gates():
+    from cfd_tpu.ops.pallas_pair import adv_pair_supported
+
+    assert not adv_pair_supported(SCHEME4_D2_PERIODIC, 256, 256, jnp.float32)
+    assert not adv_pair_supported(SCHEME4_PERIODIC, 256, 256, jnp.bfloat16)
+
+
 D2_ALL = [SCHEME4_D2_PERIODIC]
 
 
