@@ -1,16 +1,19 @@
-"""RK3 advection-diffusion step: fused vs generic, by device timeline.
+"""RK3 model steps: fused vs generic, by device timeline.
 
 Round-3 profile of the generic step (docs/RESULTS.md) put 42% of the
 6.19 ms step in XLA elementwise fusions — the advection dot and RK
 axpys. The fused substep path (ops/fused_step.py) moves all of that
 into kernel epilogues: four dispatches per substep, zero elementwise
-HBM passes. This script measures both paths interleaved in the same
-capture windows plus the four fused dispatches individually.
+HBM passes. This script measures both paths plus the four fused
+dispatches individually, gates correctness first, and commits the
+numbers to benchmarks/results/rk3_v5e.json (the committed artifact
+behind docs/RESULTS.md's step figures).
 
 Run on the real TPU:  python benchmarks/diag_rk3.py [n=256]
 """
 
 import dataclasses
+import json
 import math
 import os
 import sys
@@ -55,6 +58,7 @@ def main():
     assert err < 1e-3, err
 
     pts = n**3
+    rows = {}
 
     def report(name, fn, x, iters=8):
         best = math.inf
@@ -69,6 +73,11 @@ def main():
             f"{name:<28} {best:7.3f} ms device  ({gpts:6.1f} Gpt/s)"
             f"   [copy floor {floor_best:.3f}]"
         )
+        rows[name.strip()] = {
+            "ms_device": round(best, 4),
+            "gpts_per_s": round(gpts, 2),
+            "copy_floor_ms": round(floor_best, 4),
+        }
         return best
 
     print(f"\n-- {n}^3 f32, device-timeline minima over 3 captures --")
@@ -97,6 +106,46 @@ def main():
         f0,
     )
     print(f"\nspeedup: {t_gen / t_fus:.2f}x  ({t_gen:.2f} -> {t_fus:.2f} ms)")
+
+    # --- Burgers: three fused advection-diffusion substeps per substep -----
+    from cfd_tpu.models import Burgers
+
+    bf = Burgers(derivs, nu=1e-2)
+    bg = Burgers(dataclasses.replace(derivs, fused_substep=None), nu=1e-2)
+    uf = jax.jit(lambda uu: bf.step(uu, dt))(u)
+    ug = jax.jit(lambda uu: bg.step(uu, dt))(u)
+    inc = max(float(jnp.max(jnp.abs(g - o))) for g, o in zip(ug, u))
+    berr = max(float(jnp.max(jnp.abs(a - g))) for a, g in zip(uf, ug)) / inc
+    print(f"\nburgers fused vs generic rel(increment) err: {berr:.2e}")
+    assert berr < 1e-3, berr
+
+    def bstep(model):
+        return lambda ux: model.step((ux, u[1], u[2]), dt)[0]
+
+    report("burgers generic step", bstep(bg), u[0], iters=6)
+    report("burgers fused step", bstep(bf), u[0], iters=6)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "rk3_v5e.json"
+    )
+    payload = {
+        "config": {
+            "n": n,
+            "dtype": "float32",
+            "scheme": "pade4_periodic + pade4_d2_periodic",
+            "dt": dt,
+            "method": "device timeline minima over 3 captures "
+            "(utils.profiling.device_op_time_ms)",
+        },
+        "gates": {
+            "advdiff_fused_vs_generic_rel_increment": err,
+            "burgers_fused_vs_generic_rel_increment": berr,
+        },
+        "rows": rows,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(f"\nwrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -16,10 +16,13 @@ advection product, and no RK state ever makes a dedicated HBM trip:
     adv = leading_derivative(f, mul=uz, acc=axy)  # axy + uz*fz  (3r + 1w)
     q', f' = rk3_solve_update(r, adv, q, f)    # lap solve + update (4r + 2w)
 
-16 passes, 4 dispatches, zero XLA elementwise traffic. Results match the
-generic ``AdvectionDiffusion.step`` to f32 arithmetic (same operators,
-same tables — the derivatives are bit-identical to the unfused kernels;
-only the elementwise evaluation order differs).
+16 passes, 4 dispatches, zero XLA elementwise traffic. Where the mega
+kernel applies (ops/pallas_megastep.py: both leading-axis sweeps — the d1
+and the Laplacian solve — interleaved in ONE kernel with the RK epilogue),
+the last two dispatches collapse into one: 13 passes, 3 dispatches.
+Results match the generic ``AdvectionDiffusion.step`` to f32 arithmetic
+(same operators, same tables — the derivatives are bit-identical to the
+unfused kernels; only the elementwise evaluation order differs).
 
 Requires: 3-D float32 fields, a derivative_order=1 scheme the pair and
 leading kernels serve, and a PERIODIC derivative_order=2 scheme (the
@@ -97,11 +100,19 @@ def make_fused_substep(spacing, scheme: CompactScheme, d2: CompactScheme, *, int
             return None
         from .pallas_lap import lap_rhs
         from .pallas_leading import leading_derivative, rk3_solve_update
+        from .pallas_megastep import rk3_mega, rk3_mega_supported
         from .pallas_pair import advection_pair
 
         ux, uy, uz = u
         axy = advection_pair(f, ux, uy, dy, dx, scheme, interpret=interpret)
         r = lap_rhs(f, dz, dy, dx, d2, interpret=interpret)
+        if rk3_mega_supported(scheme, d2, f.shape, f.dtype, has_q=q is not None):
+            # one dispatch for dfdz + Laplacian solve + RK update: the
+            # whole substep is 3 dispatches / 13 HBM passes
+            return rk3_mega(
+                f, r, axy, uz, q, scheme, d2, dz,
+                a=a, b=b, dt=dt, nu=nu, interpret=interpret,
+            )
         adv = leading_derivative(
             f, dz, scheme, mul=uz, acc=axy, interpret=interpret
         )

@@ -53,7 +53,11 @@ def main():
     f = build(x)
     solver = cfd_tpu.DistributedCompactSolver(grid)
     t0 = time.time()
-    df = solver.dfdx(f)
+    # donate f: it is dead after the solve, and at 2048^3 (32 GiB per f32
+    # array) the freed buffer is the difference between fitting in host RAM
+    # and the OOM killer on the virtual CPU mesh
+    df = jax.jit(solver.dfdx, donate_argnums=0)(f)
+    del f
 
     @jax.jit
     def max_err(d, xc):

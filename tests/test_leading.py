@@ -161,3 +161,60 @@ def test_rk3_solve_update_matches_unfused(rng):
         rk3_solve_update(
             r, adv[:, :4], q0, fin, s2, a=a, b=b, dt=dt, nu=nu, interpret=True
         )
+
+
+def test_rk3_mega_matches_two_dispatch(rng):
+    """The one-dispatch mega kernel (interleaved d1z + Laplacian solve +
+    RK epilogue, ops/pallas_megastep.py) == the two separate dispatches it
+    replaces, for both the q-carrying and the first (q=None) substep."""
+    from cfd_tpu.ops.pallas_leading import leading_derivative, rk3_solve_update
+    from cfd_tpu.ops.pallas_megastep import rk3_mega, rk3_mega_supported
+    from cfd_tpu.schemes import get_scheme
+
+    s1 = SCHEME4_PERIODIC
+    s2 = get_scheme(4, True, derivative=2)
+    shp = (64, 16, 128)
+    dz = 0.02
+    f = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    axy = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    uz = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal(shp), jnp.float32)
+    a, b, dt, nu = -5.0 / 9.0, 15.0 / 16.0, 1e-3, 1e-2
+    assert rk3_mega_supported(s1, s2, shp, jnp.float32, has_q=True)
+
+    adv = leading_derivative(f, dz, s1, mul=uz, acc=axy, interpret=True)
+    for q, aa, bb in ((q0, a, b), (None, 0.0, 1.0 / 3.0)):
+        q_ref, f_ref = rk3_solve_update(
+            r, adv, q, f, s2, a=aa, b=bb, dt=dt, nu=nu, interpret=True
+        )
+        qn, fn = rk3_mega(
+            f, r, axy, uz, q, s1, s2, dz,
+            a=aa, b=bb, dt=dt, nu=nu, interpret=True,
+        )
+        scale = float(jnp.max(jnp.abs(q_ref))) + 1e-12
+        assert float(jnp.max(jnp.abs(qn - q_ref))) < 2e-6 * scale
+        assert float(jnp.max(jnp.abs(fn - f_ref))) < 2e-6 * (
+            float(jnp.max(jnp.abs(f_ref))) + 1e-12
+        )
+
+    # closure d1 schemes ride too (ghost rows are peeled statically)
+    assert rk3_mega_supported(SCHEME4, s2, shp, jnp.float32, has_q=True)
+    adv_c = leading_derivative(f, dz, SCHEME4, mul=uz, acc=axy, interpret=True)
+    q_ref, f_ref = rk3_solve_update(
+        r, adv_c, q0, f, s2, a=a, b=b, dt=dt, nu=nu, interpret=True
+    )
+    qn, fn = rk3_mega(
+        f, r, axy, uz, q0, SCHEME4, s2, dz, a=a, b=b, dt=dt, nu=nu,
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(qn - q_ref))) < 2e-6 * (
+        float(jnp.max(jnp.abs(q_ref))) + 1e-12
+    )
+
+    with pytest.raises(ValueError):
+        rk3_mega(
+            f, r[:, :4], axy, uz, q0, s1, s2, dz,
+            a=a, b=b, dt=dt, nu=nu, interpret=True,
+        )
+    assert not rk3_mega_supported(s1, s2, shp, jnp.float64, has_q=True)
