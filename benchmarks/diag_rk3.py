@@ -93,6 +93,14 @@ def main():
     ux, uy, uz = u
     report("  advection_pair (xy)", lambda f: advection_pair(f, ux, uy, dx, dx, SCHEME4_PERIODIC), f0)
     report("  lap_rhs (stream z)", lambda f: lap_rhs(f, dx, dx, dx, s2), f0)
+    from cfd_tpu.ops.pallas_lap import adv_lap_rhs, adv_lap_supported
+
+    if adv_lap_supported(SCHEME4_PERIODIC, s2, n, n, n, jnp.float32):
+        report(
+            "  adv_lap merged (1 disp)",
+            lambda f: adv_lap_rhs(f, ux, uy, dx, dx, dx, SCHEME4_PERIODIC, s2)[1],
+            f0,
+        )
     report(
         "  leading d1 + mul/acc",
         lambda f: leading_derivative(f, dx, SCHEME4_PERIODIC, mul=uz, acc=f0),

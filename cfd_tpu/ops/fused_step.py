@@ -11,15 +11,16 @@ and writing two — measured at 42% of the whole step's device time
 This module chains the kernels' fused epilogues so no derivative, no
 advection product, and no RK state ever makes a dedicated HBM trip:
 
-    axy = advection_pair(f, ux, uy)            # ux*fx + uy*fy   (3r + 1w)
-    r   = lap_rhs(f)                           # B_z f + T_z(d2x+d2y) (1r+1w)
-    adv = leading_derivative(f, mul=uz, acc=axy)  # axy + uz*fz  (3r + 1w)
-    q', f' = rk3_solve_update(r, adv, q, f)    # lap solve + update (4r + 2w)
+    axy, r = adv_lap_rhs(f, ux, uy)   # ux*fx + uy*fy AND the Laplacian
+                                      # RHS from one streaming pass (3r + 2w)
+    q', f' = rk3_mega(f, r, axy, uz, q)  # d1z + lap solve + RK update
+                                         # in one dispatch (5r + 2w)
 
-16 passes, 4 dispatches, zero XLA elementwise traffic. Where the mega
-kernel applies (ops/pallas_megastep.py: both leading-axis sweeps — the d1
-and the Laplacian solve — interleaved in ONE kernel with the RK epilogue),
-the last two dispatches collapse into one: 13 passes, 3 dispatches.
+TWO dispatches, 12 HBM passes, zero XLA elementwise traffic. Configs the
+merged kernels don't serve fall back stepwise: advection_pair + lap_rhs
+as separate dispatches (13 passes / 3 dispatches with the mega kernel),
+and leading_derivative + rk3_solve_update for the tail (16 passes / 4
+dispatches) when the mega kernel's VMEM budget is exceeded.
 Results match the generic ``AdvectionDiffusion.step`` to f32 arithmetic
 (same operators, same tables — the derivatives are bit-identical to the
 unfused kernels; only the elementwise evaluation order differs).
@@ -103,9 +104,20 @@ def make_fused_substep(spacing, scheme: CompactScheme, d2: CompactScheme, *, int
         from .pallas_megastep import rk3_mega, rk3_mega_supported
         from .pallas_pair import advection_pair
 
+        from .pallas_lap import adv_lap_rhs, adv_lap_supported
+
         ux, uy, uz = u
-        axy = advection_pair(f, ux, uy, dy, dx, scheme, interpret=interpret)
-        r = lap_rhs(f, dz, dy, dx, d2, interpret=interpret)
+        nz, ny, nx = f.shape
+        if adv_lap_supported(scheme, d2, nz, ny, nx, f.dtype):
+            # merged first dispatch: axy AND r from one streaming pass
+            # (5 HBM passes instead of 6) — with the mega kernel the
+            # substep is TWO dispatches / 12 passes
+            axy, r = adv_lap_rhs(
+                f, ux, uy, dz, dy, dx, scheme, d2, interpret=interpret
+            )
+        else:
+            axy = advection_pair(f, ux, uy, dy, dx, scheme, interpret=interpret)
+            r = lap_rhs(f, dz, dy, dx, d2, interpret=interpret)
         if rk3_mega_supported(scheme, d2, f.shape, f.dtype, has_q=q is not None):
             # one dispatch for dfdz + Laplacian solve + RK update: the
             # whole substep is 3 dispatches / 13 HBM passes

@@ -77,7 +77,12 @@ from .pallas_lane import (
 from .pallas_sublane import sublane_fold_blocks
 from .pallas_pair import d2_sum_supported
 
-__all__ = ["lap_rhs", "lap_rhs_supported"]
+__all__ = [
+    "lap_rhs",
+    "lap_rhs_supported",
+    "adv_lap_rhs",
+    "adv_lap_supported",
+]
 
 # resident set: ring (3 slabs) + input (x2 double-buffered) + output (x2)
 # + the h/b emit-time values (~2 slabs) ~ 10 slab-equivalents of VMEM
@@ -133,8 +138,9 @@ def lap_rhs_supported(scheme: CompactScheme, nz: int, ny: int, nx: int, dtype) -
     return _pick_sz(nz, ny, nx, W) > 0
 
 
-def _lap_rhs_kernel(
-    f_ref,
+def _emit_lap_slab(
+    ring,
+    i,
     xt_ref,
     xd_ref,
     xe_ref,
@@ -144,7 +150,6 @@ def _lap_rhs_kernel(
     bt_ref,
     tt_ref,
     out_ref,
-    ring,
     *,
     nbz: int,
     sz: int,
@@ -155,13 +160,12 @@ def _lap_rhs_kernel(
     y_meta,
     compute_dtype,
 ):
+    """Emit slab j = i - 2 of ``r = B_z f + T_z(d2x+d2y)`` from the ring.
+
+    Shared between the standalone ``lap_rhs`` kernel and the merged
+    advection+lap-RHS kernel (``adv_lap_rhs``): grid step ``i`` has ring
+    slabs j-1, j, j+1 resident (slab (i-1) % nbz arrived this step)."""
     m = BLOCK_LANES
-    i = pl.program_id(0)
-
-    # ---- push the arriving slab into the ring -----------------------------
-    ring[pl.ds((i % 3) * sz, sz)] = f_ref[...]
-
-    # ---- emit slab j = i - 2 ----------------------------------------------
     jp = jnp.clip(i - 2, 0, nbz - 1)
 
     def plane(q, k):
@@ -220,6 +224,54 @@ def _lap_rhs_kernel(
         for by in range(ny // m):
             sl = slice(m * by, m * (by + 1))
             out_ref[q, sl, :] = out_ref[q, sl, :] + yblocks[by]
+
+
+def _lap_rhs_kernel(
+    f_ref,
+    xt_ref,
+    xd_ref,
+    xe_ref,
+    yt_ref,
+    yd_ref,
+    ye_ref,
+    bt_ref,
+    tt_ref,
+    out_ref,
+    ring,
+    *,
+    nbz: int,
+    sz: int,
+    ny: int,
+    nx: int,
+    W: int,
+    x_meta,
+    y_meta,
+    compute_dtype,
+):
+    i = pl.program_id(0)
+    # push the arriving slab into the ring, then emit slab i - 2
+    ring[pl.ds((i % 3) * sz, sz)] = f_ref[...]
+    _emit_lap_slab(
+        ring,
+        i,
+        xt_ref,
+        xd_ref,
+        xe_ref,
+        yt_ref,
+        yd_ref,
+        ye_ref,
+        bt_ref,
+        tt_ref,
+        out_ref,
+        nbz=nbz,
+        sz=sz,
+        ny=ny,
+        nx=nx,
+        W=W,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        compute_dtype=compute_dtype,
+    )
 
 
 @functools.partial(
@@ -341,4 +393,306 @@ def lap_rhs(
     return _call_lap_rhs(
         f, xt, xd, xe, yt, yd, ye, bt, tt,
         scheme=scheme, nz=nz, ny=ny, nx=nx, interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# merged advection + Laplacian-RHS: axy AND r from ONE streaming pass
+# ---------------------------------------------------------------------------
+#
+# The fused RK3 substep's first two dispatches both read all of f:
+# advection_pair (f, ux, uy in; axy out — 4 passes) and lap_rhs (f in;
+# r out — 2 passes). The advection term is z-LOCAL (only x/y derivatives),
+# so it rides the same streaming pass: each grid step computes
+# ``axy = ux*d1x f + uy*d1y f`` on the ARRIVING slab (pallas_pair block
+# bodies, bit-identical tables) while the ring emits the lagged Laplacian
+# RHS slab. 5 HBM passes (f, ux, uy in; axy, r out) instead of 6, and one
+# dispatch instead of two — the whole substep becomes TWO dispatches
+# (this + the mega kernel) / 12 passes.
+
+# resident set: ring (3 slabs) + five double-buffered streams (f, ux, uy,
+# axy, r — 10 slab-equivalents) + emit temporaries (~4) -> ~17 slabs
+_VMEM_MERGED = 14 * 1024 * 1024
+
+
+def _pick_sz_merged(nz: int, ny: int, nx: int, W: int) -> int:
+    for sz in (8, 4, 2, 1):
+        if nz % sz or sz < W:
+            continue
+        if 17 * sz * ny * nx * 4 <= _VMEM_MERGED:
+            return sz
+    return 0
+
+
+def adv_lap_supported(
+    scheme1: CompactScheme,
+    scheme2: CompactScheme,
+    nz: int,
+    ny: int,
+    nx: int,
+    dtype,
+) -> bool:
+    """Whether the merged advection+lap-RHS streaming kernel applies."""
+    from .pallas_pair import adv_pair_supported
+
+    if not adv_pair_supported(scheme1, ny, nx, dtype):
+        return False
+    if scheme2.derivative_order != 2 or not scheme2.periodic:
+        return False
+    if not d2_sum_supported(scheme2, ny, nx, dtype):
+        return False
+    W = scheme2.stencil_width
+    if nz < max(scheme2.min_points(), 2 * W + 1):
+        return False
+    return _pick_sz_merged(nz, ny, nx, W) > 0
+
+
+def _adv_lap_kernel(
+    f_ref,
+    ux_ref,
+    uy_ref,
+    # d1 tables (x fold-or-roll, y roll) then d2 fold tables
+    x1t_ref, x1d_ref, x1e_ref, y1t_ref, y1d_ref, y1q_ref,
+    x2t_ref, x2d_ref, x2e_ref, y2t_ref, y2d_ref, y2e_ref,
+    bt_ref,
+    tt_ref,
+    axy_ref,
+    r_ref,
+    ring,
+    *,
+    nbz: int,
+    sz: int,
+    ny: int,
+    nx: int,
+    W: int,
+    x_fold: bool,
+    x1_meta,
+    y1_meta,
+    x2_meta,
+    y2_meta,
+    scheme1: CompactScheme,
+    compute_dtype,
+):
+    from .pallas_pair import _d1_blocks
+
+    m = BLOCK_LANES
+    i = pl.program_id(0)
+
+    # ---- push the arriving slab into the ring -----------------------------
+    ring[pl.ds((i % 3) * sz, sz)] = f_ref[...]
+
+    # ---- advection on the arriving slab (z-local: d1x, d1y only) ----------
+    for q in range(sz):
+        xb, yb = _d1_blocks(
+            f_ref[q],
+            x1t_ref,
+            x1d_ref,
+            x1e_ref,
+            y1t_ref,
+            y1d_ref,
+            y1q_ref,
+            nx=nx,
+            ny=ny,
+            x_fold=x_fold,
+            x_meta=x1_meta,
+            y_meta=y1_meta,
+            scheme=scheme1,
+            compute_dtype=compute_dtype,
+        )
+        for b in range(nx // m):
+            sl = slice(m * b, m * (b + 1))
+            axy_ref[q, :, sl] = (
+                ux_ref[q, :, sl].astype(compute_dtype) * xb[b]
+            ).astype(axy_ref.dtype)
+        for b in range(ny // m):
+            sl = slice(m * b, m * (b + 1))
+            axy_ref[q, sl, :] = axy_ref[q, sl, :] + (
+                uy_ref[q, sl, :].astype(compute_dtype) * yb[b]
+            ).astype(axy_ref.dtype)
+
+    # ---- emit Laplacian-RHS slab i - 2 from the ring ----------------------
+    _emit_lap_slab(
+        ring,
+        i,
+        x2t_ref,
+        x2d_ref,
+        x2e_ref,
+        y2t_ref,
+        y2d_ref,
+        y2e_ref,
+        bt_ref,
+        tt_ref,
+        r_ref,
+        nbz=nbz,
+        sz=sz,
+        ny=ny,
+        nx=nx,
+        W=W,
+        x_meta=x2_meta,
+        y_meta=y2_meta,
+        compute_dtype=compute_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme1", "scheme2", "nz", "ny", "nx", "x_fold", "interpret"),
+)
+def _call_adv_lap(
+    f, ux, uy, d1_tabs, d2_tabs, bt, tt,
+    *, scheme1, scheme2, nz, ny, nx, x_fold, interpret,
+):
+    if x_fold:
+        _, _, edges_meta = _fold_tables(scheme1, nx)
+        _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme1, nx)
+        x1_meta = (edges_meta, d_nonzero, d_block_map(scheme1, nx))
+    else:
+        _, _, _, ct, cb, d_nonzero, wfold = _lane_tables(scheme1, nx)
+        x1_meta = (ct, cb, d_nonzero, wfold, d_block_map(scheme1, nx))
+    _, _, _, cty, cby, d_nonzero_y, wfold_y = _lane_tables(scheme1, ny)
+    y1_meta = (cty, cby, d_nonzero_y, wfold_y, d_block_map(scheme1, ny))
+
+    _, _, edges_meta_x2 = _fold_tables(scheme2, nx)
+    _, _, _, _, _, d_nonzero_x2, _ = _lane_tables(scheme2, nx)
+    x2_meta = (edges_meta_x2, d_nonzero_x2, d_block_map(scheme2, nx))
+    _, _, edges_meta_y2 = _fold_tables(scheme2, ny)
+    _, _, _, _, _, d_nonzero_y2, _ = _lane_tables(scheme2, ny)
+    y2_meta = (edges_meta_y2, d_nonzero_y2, d_block_map(scheme2, ny))
+
+    W = scheme2.stencil_width
+    sz = _pick_sz_merged(nz, ny, nx, W)
+    nbz = nz // sz
+    kernel = functools.partial(
+        _adv_lap_kernel,
+        nbz=nbz,
+        sz=sz,
+        ny=ny,
+        nx=nx,
+        W=W,
+        x_fold=x_fold,
+        x1_meta=x1_meta,
+        y1_meta=y1_meta,
+        x2_meta=x2_meta,
+        y2_meta=y2_meta,
+        scheme1=scheme1,
+        compute_dtype=jnp.float32,
+    )
+    arrive = pl.BlockSpec(
+        (sz, ny, nx), lambda i: ((i - 1) % nbz, 0, 0), memory_space=pltpu.VMEM
+    )
+    lagged = pl.BlockSpec(
+        (sz, ny, nx),
+        lambda i: (jnp.clip(i - 2, 0, nbz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    smem = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nz, ny, nx), f.dtype),
+            jax.ShapeDtypeStruct((nz, ny, nx), f.dtype),
+        ),
+        grid=(nbz + 2,),
+        in_specs=[arrive, arrive, arrive]
+        + [whole(t) for t in d1_tabs]
+        + [whole(t) for t in d2_tabs]
+        + [smem(bt), smem(tt)],
+        # axy rides the arriving slab (its two pipeline-fill recomputes of
+        # wrapped slabs are <2% extra traffic); r emits with the 2-slab lag
+        out_specs=(arrive, lagged),
+        scratch_shapes=[
+            pltpu.VMEM((3 * sz, ny, nx), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=42 * nz * ny * nx,
+            bytes_accessed=5 * nz * ny * nx * f.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(f, ux, uy, *d1_tabs, *d2_tabs, bt, tt)
+
+
+def adv_lap_rhs(
+    f: jax.Array,
+    ux: jax.Array,
+    uy: jax.Array,
+    dz,
+    dy,
+    dx,
+    scheme1: CompactScheme,
+    scheme2: CompactScheme,
+    *,
+    interpret: bool = False,
+):
+    """``(ux*d1x f + uy*d1y f,  B_z f + T_z(d2x f + d2y f))`` in ONE kernel.
+
+    One streaming pass: 3 HBM reads (f, ux, uy), 2 writes (axy, r) — the
+    merged form of ``pallas_pair.advection_pair`` + ``lap_rhs`` (same block
+    bodies and tables, bit-identical results). ``scheme1`` is the d1 scheme,
+    ``scheme2`` the periodic d2 scheme; requires ``adv_lap_supported``.
+    """
+    if f.ndim != 3:
+        raise ValueError(
+            f"adv_lap_rhs needs a 3-D (nz, ny, nx) field, got {f.shape}"
+        )
+    nz, ny, nx = f.shape
+    if not adv_lap_supported(scheme1, scheme2, nz, ny, nx, f.dtype):
+        raise ValueError(
+            f"adv_lap_rhs unsupported for shape {f.shape} dtype {f.dtype} "
+            f"schemes {scheme1.name}/{scheme2.name}"
+        )
+    if ux.shape != f.shape or uy.shape != f.shape:
+        raise ValueError(
+            f"velocity shapes {ux.shape}/{uy.shape} != field shape {f.shape}"
+        )
+    from .pallas_lane import FOLD_MAX
+    from .pallas_pair import _d1_pair_tables
+
+    x_fold = nx <= FOLD_MAX
+    d1_tabs = _d1_pair_tables(scheme1, ny, nx, dy, dx, x_fold)
+
+    inv_dx2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)) ** 2
+    Mt, E, _ = _fold_tables(scheme2, nx)
+    _, D, _, _, _, _, _ = _lane_tables(scheme2, nx)
+    inv_dy2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dy, jnp.float32)) ** 2
+    Mt_y, E_y, _ = _fold_tables(scheme2, ny)
+    M_y = np.ascontiguousarray(np.transpose(Mt_y, (0, 2, 1)))
+    _, D_y, _, _, _, _, _ = _lane_tables(scheme2, ny)
+    d2_tabs = (
+        jnp.asarray(Mt) * inv_dx2,
+        jnp.asarray(D),
+        jnp.asarray(E) * inv_dx2,
+        jnp.asarray(M_y) * inv_dy2,
+        jnp.asarray(D_y.T),
+        jnp.asarray(E_y.T) * inv_dy2,
+    )
+
+    btab, ttab = _z_tables(scheme2, nz)
+    inv_dz2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dz, jnp.float32)) ** 2
+    bt = jnp.asarray(btab) * inv_dz2
+    tt = jnp.asarray(ttab)
+
+    return _call_adv_lap(
+        f,
+        ux.astype(f.dtype),
+        uy.astype(f.dtype),
+        d1_tabs,
+        d2_tabs,
+        bt,
+        tt,
+        scheme1=scheme1,
+        scheme2=scheme2,
+        nz=nz,
+        ny=ny,
+        nx=nx,
+        x_fold=x_fold,
+        interpret=interpret,
     )

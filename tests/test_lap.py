@@ -126,3 +126,48 @@ def test_lap_rhs_supported_gates():
     assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 256, 256, f64)
     # ny too short for the sublane fold
     assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 128, 256, f32)
+
+
+# ---------------------------------------------------------------------------
+# merged advection + lap-RHS kernel (adv_lap_rhs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nz", [6, 16], ids=["wrap-nbz3", "deep"])
+def test_adv_lap_rhs_matches_separate_kernels(rng, nz):
+    """The merged streaming kernel returns bit-identical results to the
+    two dispatches it replaces (advection_pair + lap_rhs): same block
+    bodies, same tables, only the pass structure differs. nz=6 runs a
+    3-slab grid, exercising the wrapped arrival index map's revisits."""
+    from cfd_tpu.ops.pallas_lap import adv_lap_rhs, adv_lap_supported
+    from cfd_tpu.ops.pallas_pair import advection_pair
+
+    s1 = SCHEME4_PERIODIC
+    s2 = SCHEME4_D2_PERIODIC
+    ny = nx = 256
+    assert adv_lap_supported(s1, s2, nz, ny, nx, jnp.float32)
+    f = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+    ux = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+    uy = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+    dz, dy, dx = 0.04, 0.03, 0.02
+    axy0 = advection_pair(f, ux, uy, dy, dx, s1, interpret=True)
+    r0 = lap_rhs(f, dz, dy, dx, s2, interpret=True)
+    axy, r = adv_lap_rhs(f, ux, uy, dz, dy, dx, s1, s2, interpret=True)
+    assert float(jnp.max(jnp.abs(axy - axy0))) == 0.0
+    assert float(jnp.max(jnp.abs(r - r0))) == 0.0
+
+
+def test_adv_lap_supported_gates():
+    from cfd_tpu.ops.pallas_lap import adv_lap_supported
+
+    f32, f64 = jnp.float32, jnp.float64
+    s1, s2 = SCHEME4_PERIODIC, SCHEME4_D2_PERIODIC
+    assert adv_lap_supported(s1, s2, 64, 256, 256, f32)
+    # schemes in the wrong slots
+    assert not adv_lap_supported(s2, s2, 64, 256, 256, f32)
+    assert not adv_lap_supported(s1, s1, 64, 256, 256, f32)
+    # non-periodic d2 (closure-hostile change of variables)
+    assert not adv_lap_supported(s1, SCHEME4_D2, 64, 256, 256, f32)
+    # dtype / short-axis gates ride the pair predicates
+    assert not adv_lap_supported(s1, s2, 64, 256, 256, f64)
+    assert not adv_lap_supported(s1, s2, 64, 128, 256, f32)
