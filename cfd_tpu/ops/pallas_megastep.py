@@ -98,8 +98,8 @@ def _mega_kernel(
     scal_ref,
     r_ref,
     axy_ref,
-    uz_ref,
     *refs,
+    uz_is_f: bool,
     n: int,
     nb: int,
     halo: int,
@@ -116,6 +116,12 @@ def _mega_kernel(
 
     qout doubles as sweep B's forward scratch, fout as sweep A's.
     """
+    # uz aliased to f (a Burgers component advected by itself): no separate
+    # uz input stream — the epilogue reads the velocity from f's own block
+    if uz_is_f:
+        uz_ref = f_ref
+    else:
+        uz_ref, *refs = refs
     if has_q:
         q_ref, qout_ref, fout_ref = refs
     else:
@@ -237,11 +243,13 @@ def _mega_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scheme1", "scheme2", "n", "nb", "halo", "interpret", "has_q"),
+    static_argnames=(
+        "scheme1", "scheme2", "n", "nb", "halo", "interpret", "has_q", "uz_is_f",
+    ),
 )
 def _call_mega(
     f, gl, gr, r, axy, uz, q, scal, inv_dz,
-    *, scheme1, scheme2, n, nb, halo, interpret, has_q,
+    *, scheme1, scheme2, n, nb, halo, interpret, has_q, uz_is_f,
 ):
     t1 = _leading_tables(scheme1, n)
     t2 = _leading_tables(scheme2, n)
@@ -249,6 +257,7 @@ def _call_mega(
     (w2, invd2, du2, uh2, lh2, t02, rinv2, rsup2, has_uh2, has_lh2, _) = t2
     kernel = functools.partial(
         _mega_kernel,
+        uz_is_f=uz_is_f,
         n=n,
         nb=nb,
         halo=halo,
@@ -262,15 +271,18 @@ def _call_mega(
         has_q=has_q,
     )
     B1, B2 = f.shape[1:]
-    S = _mega_sublanes(n, B1, 7 if has_q else 6)
+    n_streams = (7 if has_q else 6) - (1 if uz_is_f else 0)
+    S = _mega_sublanes(n, B1, n_streams)
     grid = (B1 // S, B2 // LANE)
     block = lambda lead: pl.BlockSpec(
         (lead, S, LANE), lambda j, k: (0, j, k), memory_space=pltpu.VMEM
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     cdt = jnp.float32
-    extra = [r.astype(cdt), axy.astype(cdt), uz.astype(cdt)]
-    extra_specs = [block(n)] * 3
+    extra = [r.astype(cdt), axy.astype(cdt)]
+    if not uz_is_f:
+        extra.append(uz.astype(cdt))
+    extra_specs = [block(n)] * len(extra)
     if has_q:
         extra.append(q.astype(cdt))
         extra_specs.append(block(n))
@@ -288,7 +300,7 @@ def _call_mega(
         out_specs=(block(n), block(n)),
         cost_estimate=pl.CostEstimate(
             flops=30 * f.size,
-            bytes_accessed=(7 if has_q else 6) * f.size * 4,
+            bytes_accessed=n_streams * f.size * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -328,6 +340,11 @@ def rk3_mega(
 
     Returns ``(q', f')``. ``q=None`` encodes the first substep (a == 0).
     All arrays (nz, ny, nx); requires ``rk3_mega_supported``.
+
+    When ``uz`` IS ``f`` (same array object — a Burgers z-component
+    advected by itself), the separate uz input stream is dropped and the
+    epilogue reads the velocity from f's own block: 6 HBM passes instead
+    of 7, bit-identical output.
     """
     if f.ndim != 3:
         raise ValueError(f"rk3_mega needs (nz, ny, nx) fields, got {f.shape}")
@@ -343,6 +360,7 @@ def rk3_mega(
     ):
         if arr.shape != f.shape:
             raise ValueError(f"{name} shape {arr.shape} != field shape {f.shape}")
+    uz_is_f = uz is f
     n = f.shape[0]
     nb = _pick_nb(n)
     gl, gr = closure_ghosts(f, scheme1)
@@ -373,5 +391,6 @@ def rk3_mega(
         halo=halo,
         interpret=interpret,
         has_q=q is not None,
+        uz_is_f=uz_is_f,
     )
     return qout.astype(f.dtype), fout.astype(f.dtype)

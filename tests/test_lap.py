@@ -157,6 +157,28 @@ def test_adv_lap_rhs_matches_separate_kernels(rng, nz):
     assert float(jnp.max(jnp.abs(r - r0))) == 0.0
 
 
+def test_adv_lap_rhs_aliased_velocity(rng):
+    """When ux/uy IS f (a Burgers component advected by itself) the kernel
+    drops the duplicate input stream and reads the velocity from f's own
+    slab — output must be bit-identical to the unaliased call."""
+    from cfd_tpu.ops.pallas_lap import adv_lap_rhs
+
+    s1, s2 = SCHEME4_PERIODIC, SCHEME4_D2_PERIODIC
+    nz, ny, nx = 6, 256, 256
+    dz, dy, dx = 0.04, 0.03, 0.02
+    f = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+    fcopy = f + 0.0  # same values, distinct object -> unaliased baseline
+
+    a0, r0 = adv_lap_rhs(f, fcopy, u, dz, dy, dx, s1, s2, interpret=True)
+    a1, r1 = adv_lap_rhs(f, f, u, dz, dy, dx, s1, s2, interpret=True)
+    assert jnp.array_equal(a0, a1) and jnp.array_equal(r0, r1)
+
+    a0, r0 = adv_lap_rhs(f, u, fcopy, dz, dy, dx, s1, s2, interpret=True)
+    a1, r1 = adv_lap_rhs(f, u, f, dz, dy, dx, s1, s2, interpret=True)
+    assert jnp.array_equal(a0, a1) and jnp.array_equal(r0, r1)
+
+
 def test_adv_lap_supported_gates():
     from cfd_tpu.ops.pallas_lap import adv_lap_supported
 

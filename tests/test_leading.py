@@ -218,3 +218,18 @@ def test_rk3_mega_matches_two_dispatch(rng):
             a=a, b=b, dt=dt, nu=nu, interpret=True,
         )
     assert not rk3_mega_supported(s1, s2, shp, jnp.float64, has_q=True)
+
+    # uz aliased to f (a Burgers z-component advected by itself): the
+    # separate uz stream is dropped, output must be bit-identical
+    fcopy = f + 0.0
+    for q in (q0, None):
+        aa, bb = (a, b) if q is not None else (0.0, 1.0 / 3.0)
+        q_ref, f_ref = rk3_mega(
+            f, r, axy, fcopy, q, s1, s2, dz,
+            a=aa, b=bb, dt=dt, nu=nu, interpret=True,
+        )
+        qn, fn = rk3_mega(
+            f, r, axy, f, q, s1, s2, dz,
+            a=aa, b=bb, dt=dt, nu=nu, interpret=True,
+        )
+        assert jnp.array_equal(qn, q_ref) and jnp.array_equal(fn, f_ref)
