@@ -148,8 +148,11 @@ class AdvectionDiffusion:
             out = fs(f, u, None, dt, self.nu, A[0], B[0])
             if out is not None:
                 q, fc = out
-                for a, b in zip(A[1:], B[1:]):
-                    q, fc = fs(fc, u, q, dt, self.nu, a, b)
+                n_rest = len(A) - 1
+                for i, (a, b) in enumerate(zip(A[1:], B[1:]), start=1):
+                    # last=True on the final substep: q' is dead, the
+                    # mega kernel elides its HBM write
+                    q, fc = fs(fc, u, q, dt, self.nu, a, b, last=i == n_rest)
                 return fc
         q = jnp.zeros_like(f)
         for a, b in zip(A, B):

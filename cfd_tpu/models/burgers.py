@@ -67,8 +67,11 @@ class Burgers:
                         if si == 0 and i == 0:
                             q[0], cur[0] = first
                         else:
+                            # last=True on the final substep: q' is dead,
+                            # the mega kernel elides its HBM write
                             q[i], cur[i] = fs(
-                                frozen[i], frozen, q[i], dt, self.nu, a, b
+                                frozen[i], frozen, q[i], dt, self.nu, a, b,
+                                last=si == 2,
                             )
                 return tuple(cur)
         q = tuple(jnp.zeros_like(c) for c in u)

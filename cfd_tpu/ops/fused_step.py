@@ -73,12 +73,14 @@ def fused_substep_supported(shape, dtype, scheme: CompactScheme, d2: CompactSche
 
 
 def make_fused_substep(spacing, scheme: CompactScheme, d2: CompactScheme, *, interpret: bool = False):
-    """Build ``substep(f, u, q, dt, nu, a, b) -> (q', f') | None``.
+    """Build ``substep(f, u, q, dt, nu, a, b, last=False) -> (q', f') | None``.
 
     The returned callable decides support at trace time from the field's
     shape/dtype/backend and returns ``None`` when the fused path does not
     apply — the model then runs its generic rhs/step form. ``q=None``
-    encodes the first substep (a == 0).
+    encodes the first substep (a == 0); ``last=True`` the final one, where
+    q' is dead — the mega kernel then skips its HBM write and returns
+    ``(None, f')`` (the stepwise fallback still returns a real q').
     """
     if scheme.derivative_order != 1:
         raise ValueError(
@@ -94,7 +96,7 @@ def make_fused_substep(spacing, scheme: CompactScheme, d2: CompactScheme, *, int
         else spacing
     )
 
-    def substep(f, u, q, dt, nu, a, b):
+    def substep(f, u, q, dt, nu, a, b, last=False):
         if not interpret and jax.default_backend() != "tpu":
             return None
         if not fused_substep_supported(f.shape, f.dtype, scheme, d2):
@@ -121,9 +123,12 @@ def make_fused_substep(spacing, scheme: CompactScheme, d2: CompactScheme, *, int
         if rk3_mega_supported(scheme, d2, f.shape, f.dtype, has_q=q is not None):
             # one dispatch for dfdz + Laplacian solve + RK update: the
             # whole substep is 3 dispatches / 13 HBM passes
+            # on the last substep q' is dead: its HBM write is elided
+            # (write_q=False) and the substep returns (None, f')
             return rk3_mega(
                 f, r, axy, uz, q, scheme, d2, dz,
-                a=a, b=b, dt=dt, nu=nu, interpret=interpret,
+                a=a, b=b, dt=dt, nu=nu, write_q=not last,
+                interpret=interpret,
             )
         adv = leading_derivative(
             f, dz, scheme, mul=uz, acc=axy, interpret=interpret

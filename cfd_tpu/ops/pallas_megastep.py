@@ -60,9 +60,14 @@ __all__ = ["rk3_mega", "rk3_mega_supported"]
 _VMEM_MEGA = 15 * 1024 * 1024
 
 
-def _mega_sublanes(n: int, b1: int, n_streams: int) -> int:
+def _mega_sublanes(n: int, b1: int, halves: int) -> int:
+    """Largest sublane count whose VMEM footprint fits the budget.
+
+    ``halves`` counts (n, s, LANE) f32 buffers in HALF-stream units: a
+    double-buffered HBM stream costs 2, a single-buffered VMEM scratch 1.
+    """
     for s in (16, 8):
-        if b1 % s == 0 and 2 * n_streams * n * s * LANE * 4 <= _VMEM_MEGA:
+        if b1 % s == 0 and halves * n * s * LANE * 4 <= _VMEM_MEGA:
             return s
     return 0
 
@@ -83,7 +88,7 @@ def rk3_mega_supported(
     return (
         nx % LANE == 0
         and ny % 8 == 0
-        and _mega_sublanes(nz, ny, n_streams) > 0
+        and _mega_sublanes(nz, ny, 2 * n_streams) > 0
     )
 
 
@@ -100,6 +105,7 @@ def _mega_kernel(
     axy_ref,
     *refs,
     uz_is_f: bool,
+    write_q: bool,
     n: int,
     nb: int,
     halo: int,
@@ -114,7 +120,9 @@ def _mega_kernel(
 ):
     """Two interleaved substructured sweep families + the RK epilogue.
 
-    qout doubles as sweep B's forward scratch, fout as sweep A's.
+    qout doubles as sweep B's forward scratch, fout as sweep A's. On the
+    last RK3 substep (write_q=False) q' is dead, so qout is a VMEM
+    scratch buffer instead of an HBM output — one fewer HBM pass.
     """
     # uz aliased to f (a Burgers component advected by itself): no separate
     # uz input stream — the epilogue reads the velocity from f's own block
@@ -123,10 +131,13 @@ def _mega_kernel(
     else:
         uz_ref, *refs = refs
     if has_q:
-        q_ref, qout_ref, fout_ref = refs
+        q_ref, *refs = refs
     else:
         q_ref = None
+    if write_q:
         qout_ref, fout_ref = refs
+    else:
+        fout_ref, qout_ref = refs  # scratch refs come after outputs
     taps, sgn, c0, _ = stencil1
     bz = n // nb
 
@@ -232,7 +243,8 @@ def _mega_kernel(
             qn = scal_ref[3] * totB - scal_ref[2] * adv
             if has_q:
                 qn = qn + scal_ref[0] * q_ref[pl.ds(g, 1)]
-            qout_ref[pl.ds(g, 1)] = qn
+            if write_q:
+                qout_ref[pl.ds(g, 1)] = qn
             fout_ref[pl.ds(g, 1)] = f_ref[pl.ds(g, 1)] + scal_ref[1] * qn
             xsA[b] = xA
             xsB[b] = xB
@@ -244,12 +256,13 @@ def _mega_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scheme1", "scheme2", "n", "nb", "halo", "interpret", "has_q", "uz_is_f",
+        "scheme1", "scheme2", "n", "nb", "halo", "interpret", "has_q",
+        "uz_is_f", "write_q",
     ),
 )
 def _call_mega(
     f, gl, gr, r, axy, uz, q, scal, inv_dz,
-    *, scheme1, scheme2, n, nb, halo, interpret, has_q, uz_is_f,
+    *, scheme1, scheme2, n, nb, halo, interpret, has_q, uz_is_f, write_q,
 ):
     t1 = _leading_tables(scheme1, n)
     t2 = _leading_tables(scheme2, n)
@@ -258,6 +271,7 @@ def _call_mega(
     kernel = functools.partial(
         _mega_kernel,
         uz_is_f=uz_is_f,
+        write_q=write_q,
         n=n,
         nb=nb,
         halo=halo,
@@ -272,7 +286,9 @@ def _call_mega(
     )
     B1, B2 = f.shape[1:]
     n_streams = (7 if has_q else 6) - (1 if uz_is_f else 0)
-    S = _mega_sublanes(n, B1, n_streams)
+    hbm_streams = n_streams - (0 if write_q else 1)
+    halves = 2 * hbm_streams + (0 if write_q else 1)  # scratch: single-buffered
+    S = _mega_sublanes(n, B1, halves)
     grid = (B1 // S, B2 // LANE)
     block = lambda lead: pl.BlockSpec(
         (lead, S, LANE), lambda j, k: (0, j, k), memory_space=pltpu.VMEM
@@ -286,21 +302,24 @@ def _call_mega(
     if has_q:
         extra.append(q.astype(cdt))
         extra_specs.append(block(n))
-    qout, fout = pl.pallas_call(
+    n_out = 2 if write_q else 1
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(f.shape, cdt),
-            jax.ShapeDtypeStruct(f.shape, cdt),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(f.shape, cdt) for _ in range(n_out)
         ),
         grid=grid,
         in_specs=[smem(), block(n), block(halo), block(halo)]
         + [smem()] * 14
         + [smem()]
         + extra_specs,
-        out_specs=(block(n), block(n)),
+        out_specs=tuple(block(n) for _ in range(n_out)),
+        scratch_shapes=(
+            [] if write_q else [pltpu.VMEM((n, S, LANE), cdt)]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=30 * f.size,
-            bytes_accessed=n_streams * f.size * 4,
+            bytes_accessed=hbm_streams * f.size * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -314,7 +333,7 @@ def _call_mega(
         scal.astype(cdt),
         *extra,
     )
-    return qout, fout
+    return (out[0], out[1]) if write_q else (None, out[0])
 
 
 def rk3_mega(
@@ -331,6 +350,7 @@ def rk3_mega(
     b,
     dt,
     nu,
+    write_q: bool = True,
     interpret: bool = False,
 ):
     """One dispatch: dfdz of ``f``, Laplacian = T2^{-1} r, and the RK3
@@ -339,6 +359,9 @@ def rk3_mega(
         q' = a q + dt (nu lap - (axy + uz * dfdz));   f' = f + b q'
 
     Returns ``(q', f')``. ``q=None`` encodes the first substep (a == 0).
+    ``write_q=False`` encodes the LAST substep: q' is dead there, so its
+    buffer becomes VMEM scratch instead of an HBM output (one fewer HBM
+    pass, f' bit-identical) and ``None`` is returned in its place.
     All arrays (nz, ny, nx); requires ``rk3_mega_supported``.
 
     When ``uz`` IS ``f`` (same array object — a Burgers z-component
@@ -392,5 +415,9 @@ def rk3_mega(
         interpret=interpret,
         has_q=q is not None,
         uz_is_f=uz_is_f,
+        write_q=write_q,
     )
-    return qout.astype(f.dtype), fout.astype(f.dtype)
+    return (
+        qout.astype(f.dtype) if write_q else None,
+        fout.astype(f.dtype),
+    )

@@ -233,3 +233,20 @@ def test_rk3_mega_matches_two_dispatch(rng):
             a=aa, b=bb, dt=dt, nu=nu, interpret=True,
         )
         assert jnp.array_equal(qn, q_ref) and jnp.array_equal(fn, f_ref)
+
+    # write_q=False (last substep: q' dead, its HBM write elided and the
+    # qout buffer demoted to VMEM scratch): f' must be bit-identical, and
+    # the aliased-uz variant must compose with it
+    for q in (q0, None):
+        aa, bb = (a, b) if q is not None else (0.0, 1.0 / 3.0)
+        for vel in (uz, f):
+            _, f_ref = rk3_mega(
+                f, r, axy, vel, q, s1, s2, dz,
+                a=aa, b=bb, dt=dt, nu=nu, interpret=True,
+            )
+            qn, fn = rk3_mega(
+                f, r, axy, vel, q, s1, s2, dz,
+                a=aa, b=bb, dt=dt, nu=nu, write_q=False, interpret=True,
+            )
+            assert qn is None
+            assert jnp.array_equal(fn, f_ref)
