@@ -1,4 +1,4 @@
-"""Fused RK3 advection–diffusion substep: four kernel dispatches, no
+"""Fused RK3 advection–diffusion substep: two kernel dispatches, no
 elementwise HBM passes.
 
 One Williamson RK3 substep of df/dt = -(u . grad f) + nu * lap f is,
