@@ -591,9 +591,27 @@ def divergence(
     *,
     method: str = "auto",
 ) -> jax.Array:
-    """div(u) for a 3-component vector field (ux, uy, uz)."""
+    """div(u) for a 3-component vector field (ux, uy, uz).
+
+    On TPU, f32 'auto' with a periodic scheme runs the fused streaming
+    route (ops/pallas_vec.divergence_fused): one kernel emits
+    ``B_z uz + T_z (d1x ux + d1y uy)`` from a single read of each
+    component, and one leading z-solve turns it into div(u) — 6 HBM
+    passes / 2 dispatches where the unfused form costs ~10 / 4.
+    """
     ux, uy, uz = u
     dz, dy, dx = _spacings3(spacing)
+    if (
+        method == "auto"
+        and ux.ndim == 3
+        and ux.shape == uy.shape == uz.shape
+        and ux.dtype == uy.dtype == uz.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_vec import div_fused_supported, divergence_fused
+
+        if div_fused_supported(scheme, *ux.shape, ux.dtype):
+            return divergence_fused((ux, uy, uz), dz, dy, dx, scheme)
     return (
         dfdx(ux, dx, scheme, method=method)
         + dfdy(uy, dy, scheme, method=method)
@@ -610,13 +628,28 @@ def curl(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """curl(u) for a 3-component vector field (ux, uy, uz).
 
-    The z-component's two derivatives (duz/dx, duz/dy) are exactly the
-    fused pair kernel's output, so on TPU the f32 auto path reads uz once
-    (bf16 routes through the faster single-pass matmul ops instead — see
-    ``gradient``).
+    On TPU, f32 'auto' with a periodic scheme runs the fused streaming
+    route (ops/pallas_vec.curl_fused): one kernel reads each component
+    once and emits wz plus the two change-of-variables right-hand sides
+    whose leading z-solves are wx and wy — 10 HBM passes / 3 dispatches
+    where the unfused form costs ~20 / 7. Otherwise the z-component's two
+    derivatives (duz/dx, duz/dy) still share one read of uz through the
+    pair kernel (bf16 routes through the faster single-pass matmul ops
+    instead — see ``gradient``).
     """
     ux, uy, uz = u
     dz, dy, dx = _spacings3(spacing)
+    if (
+        method == "auto"
+        and ux.ndim == 3
+        and ux.shape == uy.shape == uz.shape
+        and ux.dtype == uy.dtype == uz.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas_vec import curl_fused, curl_fused_supported
+
+        if curl_fused_supported(scheme, *ux.shape, ux.dtype):
+            return curl_fused((ux, uy, uz), dz, dy, dx, scheme)
     duz_dx = duz_dy = None
     if (
         method == "auto"

@@ -58,15 +58,22 @@ def _build_chain(step: Callable, k: int):
     def run(x):
         def body(_, y):
             out = step(y)
-            if out.shape == y.shape:
+            if jax.tree.structure(out) == jax.tree.structure(y) and all(
+                o.shape == i.shape
+                for o, i in zip(jax.tree.leaves(out), jax.tree.leaves(y))
+            ):
                 return out
             # force the next iteration to depend on this one even if step's
             # output shape differs from its input. The folded-in summary
             # must not be provably zero (XLA simplifies 0*x away and would
             # dead-code-eliminate the step): scale by a tiny constant that
             # underflows in the addition but survives simplification.
-            s = jnp.mean(out).astype(y.dtype)
-            return y * (1 + jnp.asarray(1e-38, y.dtype) * s)
+            s = jnp.mean(jax.tree.leaves(out)[0])
+            return jax.tree.map(
+                lambda a: a
+                * (1 + jnp.asarray(1e-38, a.dtype) * s.astype(a.dtype)),
+                y,
+            )
 
         return jax.lax.fori_loop(0, k, body, x)
 
@@ -83,9 +90,11 @@ def chain_time(
 ) -> float:
     """Seconds per application of ``step`` measured by chain-slope timing.
 
-    ``step`` must map an array to an array of the same shape/dtype (so the
-    chain is a genuine sequential dependence). Returns the minimum slope over
-    ``repeats`` trials.
+    ``step`` must map an array — or a pytree of arrays, e.g. a vector field
+    as a (ux, uy, uz) tuple — to an output of the same structure and leaf
+    shapes/dtypes (so the chain is a genuine sequential dependence; a
+    mismatched output is folded into the carry instead). Returns the
+    minimum slope over ``repeats`` trials.
     """
     import numpy as np
 
@@ -96,13 +105,18 @@ def chain_time(
     # memoize (executable, argument) pairs, so re-running on identical args
     # measures the cache, not the device. The perturbed variants are
     # materialized before timing starts.
-    variants = [jax.block_until_ready(x * (1.0 + 1e-6 * i)) for i in range(repeats + 1)]
+    variants = [
+        jax.block_until_ready(
+            jax.tree.map(lambda a: a * (1.0 + 1e-6 * i), x)
+        )
+        for i in range(repeats + 1)
+    ]
 
     def sync_run(fn, xi):
         # a host readback of a value derived from the result is the only
         # sync that provably waits for execution on tunnelled runtimes
         # (block_until_ready has been observed to return at enqueue)
-        r = fn(xi)
+        r = jax.tree.leaves(fn(xi))[0]
         corner = r[(slice(0, 1),) * r.ndim] if r.ndim else r
         return float(np.asarray(jnp.sum(corner)))
 

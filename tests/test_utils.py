@@ -20,6 +20,24 @@ def test_chain_time_shape_changing_step():
     assert t > 0
 
 
+def test_chain_time_pytree_step():
+    # vector-field steps chain tuples (e.g. curl: (ux,uy,uz) -> (wx,wy,wz))
+    x = (jnp.ones((16, 16)), jnp.full((16, 16), 2.0))
+    t = chain_time(
+        lambda u: (u[1] * 1.000001, u[0] + 0.1), x, k_small=2, k_big=6, repeats=1
+    )
+    assert t > 0
+
+
+def test_chain_time_pytree_structure_changing_step():
+    # tuple-in, single-array-out steps fold back into the full carry
+    x = (jnp.ones((16, 16)), jnp.ones((16, 16)))
+    t = chain_time(
+        lambda u: u[0] + u[1], x, k_small=2, k_big=6, repeats=1
+    )
+    assert t > 0
+
+
 def test_phase_timer_records():
     with phase_timer("unit", verbose=False) as t:
         sum(range(1000))
