@@ -28,6 +28,8 @@ from .ops import (
     filter_field,
     gradient,
     laplacian,
+    project,
+    solve_poisson,
 )
 from .schemes import (
     SCHEME4,
@@ -66,6 +68,8 @@ __all__ = [
     "filter_field",
     "gradient",
     "laplacian",
+    "project",
+    "solve_poisson",
     "CompactScheme",
     "get_filter",
     "get_scheme",

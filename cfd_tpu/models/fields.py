@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["benchmark_field", "taylor_green", "sine_field"]
+__all__ = ["benchmark_field", "taylor_green", "taylor_green_2d", "sine_field"]
 
 
 def _meshgrid3(z, y, x):
@@ -46,6 +46,28 @@ def taylor_green(z, y, x, t: float = 0.0, nu: float = 0.0):
     v = -jnp.sin(X) * jnp.cos(Y) * jnp.sin(Z) * F
     w = jnp.zeros_like(u)
     return u, v, w
+
+
+def taylor_green_2d(z, y, x, t: float = 0.0, nu: float = 0.0):
+    """z-independent Taylor–Green vortex — an EXACT Navier–Stokes solution.
+
+    u =  cos(x) sin(y) F(t),  v = -sin(x) cos(y) F(t),  w = 0,
+    F(t) = exp(-2 nu t), p = -(cos 2x + cos 2y) F^2 / 4.
+
+    Unlike the 3-D field (``taylor_green``, which transitions toward
+    turbulence), this one stays exactly TG-shaped forever — the
+    incompressible-solver validation case (models/navier_stokes.py).
+    Returns ((u, v, w), p).
+    """
+    import math
+
+    Z, Y, X = _meshgrid3(z, y, x)
+    F = jnp.asarray(math.exp(-2.0 * nu * t), X.dtype)
+    u = jnp.cos(X) * jnp.sin(Y) * F + 0 * Z
+    v = -jnp.sin(X) * jnp.cos(Y) * F + 0 * Z
+    w = jnp.zeros_like(u)
+    p = -(jnp.cos(2 * X) + jnp.cos(2 * Y)) * F * F / 4 + 0 * Z
+    return (u, v, w), p
 
 
 def sine_field(z, y, x, k: float = 1.0):

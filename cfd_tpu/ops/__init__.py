@@ -16,6 +16,12 @@ from .derivatives import (
     laplacian,
     line_factors,
 )
+from .poisson import (
+    laplacian_eigenvalues,
+    project,
+    solve_poisson,
+    spectral_multipliers,
+)
 from .rhs import closure_ghosts, compact_rhs
 from .tridiag import (
     CyclicFactors,
@@ -45,6 +51,10 @@ __all__ = [
     "filter_field",
     "laplacian",
     "line_factors",
+    "laplacian_eigenvalues",
+    "project",
+    "solve_poisson",
+    "spectral_multipliers",
     "closure_ghosts",
     "compact_rhs",
     "CyclicFactors",
