@@ -63,6 +63,8 @@ from .pallas_sublane import (
 __all__ = [
     "gradient_pair",
     "pair_supported",
+    "pair_subtract",
+    "pair_sub_supported",
     "d2_pair_sum",
     "d2_sum_supported",
     "advection_pair",
@@ -72,6 +74,9 @@ __all__ = [
 # VMEM budget: ~11 resident tiles (in x2 double-buffered, 2 outs x2,
 # ~5 temporaries) must fit in ~12 MB -> tile cap 512x512 f32.
 _MAX_TILE = 512 * 512
+# the subtract variant streams two extra accumuland planes (ax, ay x2
+# double-buffered): ~15 resident tiles -> smaller cap
+_MAX_TILE_SUB = 256 * 512
 
 
 def pair_supported(scheme: CompactScheme, ny: int, nx: int, dtype) -> bool:
@@ -290,6 +295,180 @@ def gradient_pair(
     xt, xd, xe, yt, yd, yq = _d1_pair_tables(scheme, ny, nx, dy, dx, x_fold)
     outx, outy = _call_pair(
         f3, xt, xd, xe, yt, yd, yq,
+        scheme=scheme, ny=ny, nx=nx, x_fold=x_fold, interpret=interpret,
+    )
+    return outx.reshape(f.shape), outy.reshape(f.shape)
+
+
+def pair_sub_supported(scheme: CompactScheme, ny: int, nx: int, dtype) -> bool:
+    """Whether the fused (ax - dfdx, ay - dfdy) kernel applies."""
+    return (
+        scheme.derivative_order == 1
+        and lane_supported(scheme, nx, dtype)
+        and sublane_supported(scheme, ny, dtype)
+        and ny * nx <= _MAX_TILE_SUB
+    )
+
+
+def _pair_sub_kernel(
+    f_ref,
+    ax_ref,
+    ay_ref,
+    xt_ref,
+    xd_ref,
+    xe_ref,
+    yt_ref,
+    yd_ref,
+    yq_ref,
+    outx_ref,
+    outy_ref,
+    *,
+    nx: int,
+    ny: int,
+    x_fold: bool,
+    x_meta,
+    y_meta,
+    scheme: CompactScheme,
+    compute_dtype,
+):
+    """One (1, ny, nx) plane -> (ax - dfdx f, ay - dfdy f)."""
+    m = BLOCK_LANES
+    xblocks, yblocks = _d1_blocks(
+        f_ref[0],
+        xt_ref,
+        xd_ref,
+        xe_ref,
+        yt_ref,
+        yd_ref,
+        yq_ref,
+        nx=nx,
+        ny=ny,
+        x_fold=x_fold,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        scheme=scheme,
+        compute_dtype=compute_dtype,
+    )
+    for b in range(nx // m):
+        sl = slice(m * b, m * (b + 1))
+        outx_ref[0, :, sl] = (
+            ax_ref[0, :, sl].astype(compute_dtype) - xblocks[b]
+        ).astype(outx_ref.dtype)
+    for b in range(ny // m):
+        sl = slice(m * b, m * (b + 1))
+        outy_ref[0, sl, :] = (
+            ay_ref[0, sl, :].astype(compute_dtype) - yblocks[b]
+        ).astype(outy_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scheme", "ny", "nx", "x_fold", "interpret")
+)
+def _call_pair_sub(
+    f3, ax3, ay3, xt, xd, xe, yt, yd, yq, *, scheme, ny, nx, x_fold, interpret
+):
+    B = f3.shape[0]
+    if x_fold:
+        _, _, edges_meta = _fold_tables(scheme, nx)
+        _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme, nx)
+        x_meta = (edges_meta, d_nonzero, d_block_map(scheme, nx))
+    else:
+        _, _, _, ct, cb, d_nonzero, wfold = _lane_tables(scheme, nx)
+        x_meta = (ct, cb, d_nonzero, wfold, d_block_map(scheme, nx))
+    _, _, _, cty, cby, d_nonzero_y, wfold_y = _lane_tables(scheme, ny)
+    y_meta = (cty, cby, d_nonzero_y, wfold_y, d_block_map(scheme, ny))
+    kernel = functools.partial(
+        _pair_sub_kernel,
+        nx=nx,
+        ny=ny,
+        x_fold=x_fold,
+        x_meta=x_meta,
+        y_meta=y_meta,
+        scheme=scheme,
+        compute_dtype=jnp.float32,
+    )
+    plane = lambda: pl.BlockSpec(
+        (1, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, ny, nx), f3.dtype),
+            jax.ShapeDtypeStruct((B, ny, nx), f3.dtype),
+        ),
+        grid=(B,),
+        in_specs=[
+            plane(),
+            plane(),
+            plane(),
+            whole(xt),
+            whole(xd),
+            whole(xe),
+            whole(yt),
+            whole(yd),
+            whole(yq),
+        ],
+        out_specs=(plane(), plane()),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * ny * nx,
+            bytes_accessed=5 * B * ny * nx * f3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(f3, ax3, ay3, xt, xd, xe, yt, yd, yq)
+
+
+def pair_subtract(
+    f: jax.Array,
+    ax: jax.Array,
+    ay: jax.Array,
+    dy,
+    dx,
+    scheme: CompactScheme,
+    *,
+    interpret: bool = False,
+):
+    """(ax - df/dx, ay - df/dy) of ``f`` (..., ny, nx) in one dispatch.
+
+    The Helmholtz-projection update ``u - grad(phi)`` for the x/y
+    components (ops/poisson.project's 'compact' form): 3 reads + 2 writes
+    in one dispatch, where gradient_pair (1r + 2w) followed by two XLA
+    subtraction passes (4r + 2w) costs 9 — the intermediate gradients
+    never make an HBM round trip. The z component rides
+    ops/pallas_leading.leading_derivative(phi, -dz, acc=uz), whose fused
+    epilogue does the same. Requires ``pair_sub_supported``.
+    """
+    if f.dtype == jnp.float64:
+        raise ValueError(
+            "the pair Pallas path supports float32/bfloat16 only; use "
+            "method='pcr' for float64 runs"
+        )
+    ny, nx = f.shape[-2], f.shape[-1]
+    if not pair_sub_supported(scheme, ny, nx, f.dtype):
+        raise ValueError(
+            f"pair_subtract unsupported for shape (..., {ny}, {nx}) "
+            f"dtype {f.dtype} scheme {scheme.name}"
+        )
+    if ax.shape != f.shape or ay.shape != f.shape:
+        raise ValueError(
+            f"accumuland shapes {ax.shape}/{ay.shape} != field {f.shape}"
+        )
+    lead = f.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    f3 = f.reshape(B, ny, nx)
+    x_fold = nx <= FOLD_MAX
+    xt, xd, xe, yt, yd, yq = _d1_pair_tables(scheme, ny, nx, dy, dx, x_fold)
+    outx, outy = _call_pair_sub(
+        f3,
+        ax.reshape(B, ny, nx),
+        ay.reshape(B, ny, nx),
+        xt, xd, xe, yt, yd, yq,
         scheme=scheme, ny=ny, nx=nx, x_fold=x_fold, interpret=interpret,
     )
     return outx.reshape(f.shape), outy.reshape(f.shape)

@@ -206,7 +206,7 @@ def _project(ux, uy, uz, scheme, spacing):
     return out[2], out[1], out[0]
 
 
-def project(u, spacing, scheme: CompactScheme):
+def project(u, spacing, scheme: CompactScheme, *, method: str = "auto"):
     """Discrete Helmholtz projection of ``u = (ux, uy, uz)``.
 
     Returns the divergence-free part of u in the exact discrete sense:
@@ -214,6 +214,22 @@ def project(u, spacing, scheme: CompactScheme):
     where ``divergence`` is this package's compact one. Idempotent;
     leaves already-divergence-free fields untouched. ``scheme`` must be a
     periodic derivative_order=1 scheme (the one ``divergence`` uses).
+
+    Two algebraically identical forms (``method``):
+
+    * ``'spectral'`` — per-mode vector projection
+      ``u_hat - k'(k'.u_hat)/|k'|^2``: SIX scalar FFTs (3 forward +
+      3 inverse). Pure — no derivative backend in the loop — so it is
+      exact to rounding in f64; the default off-TPU.
+    * ``'compact'`` — ``u - grad(solve_poisson(div u))`` with div/grad
+      evaluated in physical space by the compact kernels: TWO scalar
+      FFTs plus the fused divergence (6 HBM passes) and gradient
+      (5 passes) pipelines. On the v5e at 256^3 f32 the FFTs are ~3 ms
+      each while the kernel passes are ~0.1 ms/pass, so this form is
+      ~2x faster; the default on TPU (f32), where the kernels' ~1e-7
+      relative error is far below the f32 FFT's own rounding.
+
+    ``'auto'`` picks as described.
     """
     from .derivatives import _spacings3
 
@@ -229,6 +245,39 @@ def project(u, spacing, scheme: CompactScheme):
             f"project needs three equal-shape [..., nz, ny, nx] components, "
             f"got {[c.shape for c in (ux, uy, uz)]}"
         )
-    return _project(
-        ux, uy, uz, scheme, tuple(float(s) for s in _spacings3(spacing))
-    )
+    if method not in ("auto", "spectral", "compact"):
+        raise ValueError(f"unknown project method {method!r}")
+    sp = tuple(float(s) for s in _spacings3(spacing))
+    if method == "auto":
+        method = (
+            "compact"
+            if (
+                ux.dtype == jnp.float32
+                and ux.ndim == 3
+                and jax.default_backend() == "tpu"
+            )
+            else "spectral"
+        )
+    if method == "compact":
+        from .derivatives import divergence, gradient
+
+        d = divergence((ux, uy, uz), sp, scheme)
+        phi = _solve_poisson(d, scheme, sp, 0.0)
+        dz, dy, dx = sp
+        if ux.dtype == jnp.float32 and jax.default_backend() == "tpu":
+            # fused epilogues: u - grad(phi) without the intermediate
+            # gradients ever making an HBM round trip
+            from .pallas_leading import leading_supported
+            from .pallas_pair import pair_sub_supported, pair_subtract
+
+            if pair_sub_supported(
+                scheme, ux.shape[-2], ux.shape[-1], ux.dtype
+            ) and leading_supported(scheme, ux.shape[0], ux.dtype):
+                from .pallas_leading import leading_derivative
+
+                px, py = pair_subtract(phi, ux, uy, dy, dx, scheme)
+                pz = leading_derivative(phi, -dz, scheme, acc=uz)
+                return (px, py, pz.astype(uz.dtype))
+        gx, gy, gz = gradient(phi, sp, scheme)
+        return (ux - gx, uy - gy, uz - gz)
+    return _project(ux, uy, uz, scheme, sp)

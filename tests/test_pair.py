@@ -178,3 +178,46 @@ def test_gradient_uses_pair_equivalence(rng):
             np.abs(np.asarray(got, np.float64) - ex).max() / np.abs(ex).max()
             < 5e-5
         )
+
+
+def test_pair_subtract_matches_unfused(rng):
+    """(ax - dfdx, ay - dfdy) in one dispatch == gradient_pair + subtract."""
+    from cfd_tpu.ops.pallas_pair import pair_sub_supported, pair_subtract
+
+    scheme = SCHEME4_PERIODIC
+    dy, dx = 0.03, 0.02
+    f = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    ax = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    ay = jnp.asarray(rng.standard_normal((3, 256, 256)), jnp.float32)
+    assert pair_sub_supported(scheme, 256, 256, jnp.float32)
+    sx, sy = pair_subtract(f, ax, ay, dy, dx, scheme, interpret=True)
+    gx, gy = gradient_pair(f, dy, dx, scheme, interpret=True)
+    assert float(jnp.max(jnp.abs(sx - (ax - gx)))) < 1e-6
+    assert float(jnp.max(jnp.abs(sy - (ay - gy)))) < 1e-6
+
+
+def test_pair_subtract_gates():
+    from cfd_tpu.ops.pallas_pair import pair_sub_supported
+
+    f32 = jnp.float32
+    assert pair_sub_supported(SCHEME4_PERIODIC, 256, 256, f32)
+    assert not pair_sub_supported(SCHEME4_D2_PERIODIC, 256, 256, f32)
+    # tighter VMEM cap than the plain pair (two extra streamed planes)
+    assert not pair_sub_supported(SCHEME4_PERIODIC, 512, 512, f32)
+
+
+def test_leading_negative_spacing_acc_is_projection_update(rng):
+    """leading_derivative(phi, -dz, acc=uz) == uz - dphi/dz — the fused
+    z-component of ops/poisson.project's 'compact' form."""
+    from cfd_tpu.ops.pallas_leading import leading_derivative, leading_supported
+
+    scheme = SCHEME4_PERIODIC
+    dz = 0.04
+    phi64 = rng.standard_normal((64, 16, 256)) + 0.2
+    uz = jnp.asarray(rng.standard_normal((64, 16, 256)), jnp.float32)
+    phi = jnp.asarray(phi64, jnp.float32)
+    assert leading_supported(scheme, 64, jnp.float32)
+    got = leading_derivative(phi, -dz, scheme, acc=uz, interpret=True)
+    gz = derivative_np(scheme, np.float64(np.float32(phi64)), dz, axis=0)
+    ex = np.asarray(uz, np.float64) - gz
+    assert np.abs(np.asarray(got, np.float64) - ex).max() < 5e-5

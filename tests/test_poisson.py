@@ -89,6 +89,19 @@ def test_project_kills_compact_divergence(rng):
     assert float(jnp.max(jnp.abs(div))) < 1e-12
 
 
+def test_project_compact_form_matches_spectral(rng):
+    """u - grad(solve_poisson(div u)) is the same projection — 2 FFTs
+    instead of 6 (the TPU-preferred form; ops/poisson.project)."""
+    d1 = get_scheme(4, True, 1)
+    u = tuple(jnp.asarray(rng.standard_normal(SHAPE)) for _ in range(3))
+    us = project(u, SP, d1, method="spectral")
+    uc = project(u, SP, d1, method="compact")
+    for a, b in zip(us, uc):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-9
+    div = cfd_tpu.divergence(uc, SP, d1, method="matmul")
+    assert float(jnp.max(jnp.abs(div))) < 1e-9
+
+
 def test_project_idempotent_and_preserves_solenoidal(rng):
     d1 = get_scheme(4, True, 1)
     u = tuple(jnp.asarray(rng.standard_normal(SHAPE)) for _ in range(3))
