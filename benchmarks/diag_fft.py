@@ -55,17 +55,12 @@ def main(n: int = 256):
 
     fwd = jax.jit(lambda x: pack(jnp.fft.rfftn(x, axes=(-3, -2, -1))))
     fh = fwd(f)
-    t("rfftn forward only", lambda x: jnp.abs(jnp.fft.rfftn(
-        x, axes=(-3, -2, -1))).astype(x.dtype))
-    t("irfftn inverse only (packed c64 in/out)", lambda p: pack(
-        jnp.fft.rfftn(jnp.fft.irfftn(
-            unpack(p), s=(n, n, n), axes=(-3, -2, -1)
-        ).astype(jnp.float32) * 0.0 + 1.0, axes=(-3, -2, -1)) * 0.0
-    ) + p * 0.5 if False else jnp.stack([
-        jnp.fft.irfftn(unpack(p), s=(n, n, n), axes=(-3, -2, -1)
-                       ).astype(jnp.float32)[: p.shape[1]],
-        jnp.zeros((p.shape[1],) + (n, n), jnp.float32),
-    ]) if False else p, fh)
+    # same pack() epilogue as the per-axis entries so every forward-path
+    # figure carries identical real-ification overhead
+    t("rfftn forward only (packed out)", lambda x: pack(
+        jnp.fft.rfftn(x, axes=(-3, -2, -1))))
+    t("irfftn inverse only (packed c64 in)", lambda p: jnp.fft.irfftn(
+        unpack(p), s=(n, n, n), axes=(-3, -2, -1)).astype(jnp.float32), fh)
 
     # per-axis decomposition of the forward transform
     t("rfft axis=-1 (minor)", lambda x: jnp.abs(

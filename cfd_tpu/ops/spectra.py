@@ -115,6 +115,10 @@ def scalar_spectrum(f: jax.Array, spacing) -> jax.Array:
     ``spectrum_shells``), normalized so ``sum(P) == mean(f**2)`` exactly
     (Parseval). Leading batch axes are preserved after the shell axis:
     output shape ``[n_shells, ...]``.
+
+    ``spacing`` must be a concrete Python/NumPy value (it is baked into the
+    shell tables and the jit cache key); passing a traced value from inside
+    a user ``jit`` raises a TracerError.
     """
     from .derivatives import _spacings3
 
@@ -129,7 +133,8 @@ def energy_spectrum(u, spacing) -> jax.Array:
 
     ``sum(E) == 0.5 * mean(ux^2 + uy^2 + uz^2)`` exactly — the volume-mean
     kinetic energy (``NavierStokes.kinetic_energy``). Shell centers from
-    ``spectrum_shells``.
+    ``spectrum_shells``. Like ``scalar_spectrum``, ``spacing`` must be a
+    concrete (static) value, not a traced one.
     """
     from .derivatives import _spacings3
 

@@ -13,7 +13,10 @@ def test_bench_runs_and_emits_json():
     env = dict(
         os.environ,
         BENCH_N="64",
-        BENCH_ROUNDS="2",
+        # bench.py is time-budgeted (BENCH_BUDGET_S, default 420 s); on the
+        # CPU fallback the convergence gate (0.76 * TPU roofline) can never
+        # fire, so cap the budget well under this test's own timeout
+        BENCH_BUDGET_S="30",
         BENCH_SLEEP_S="0",
         JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", ""),
     )
