@@ -63,6 +63,8 @@ from .rhs import closure_ghosts
 
 __all__ = [
     "leading_derivative",
+    "leading_dist_derivative",
+    "leading_dist_supported",
     "leading_solve",
     "leading_supported",
     "rk3_solve_update",
@@ -176,6 +178,7 @@ def _leading_kernel(
     has_acc: bool = False,
     rk: bool = False,
     has_q: bool = False,
+    ext: bool = False,
 ):
     """nb interleaved sub-block Thomas chains + in-sweep interface update.
 
@@ -188,6 +191,12 @@ def _leading_kernel(
         term's uz weight);
       * ``has_acc``: an accumuland is added (the Laplacian's d2x+d2y sum,
         or the advection term's xy part);
+      * ``ext``: the line is one shard of a distributed line — refs are
+        (suh, slh (SMEM), ab, out); the externally-solved shard interface
+        weights ``ab`` (2, ...) apply the outer rank-2 unit-load update
+        ``out += ab[0]*suh + ab[1]*slh`` inside the backward sweep
+        (parallel/dist_tables.py; the in-kernel tables then describe the
+        shard's truncated local system, halos ride in gl/gr);
       * ``rk``: the solve result is a Laplacian and the kernel emits a
         full Williamson RK3 substep — refs are (scal, adv, fin[, q],
         qout, fout) with scal = [a, b, dt, dt*nu] in SMEM, computing
@@ -197,6 +206,7 @@ def _leading_kernel(
     """
     mul_ref = acc_ref = None
     scal_ref = adv_ref = fin_ref = q_ref = fout_ref = None
+    suh_ref = slh_ref = ab_ref = None
     if rk:
         scal_ref, adv_ref, fin_ref = refs[:3]
         rest = refs[3:]
@@ -204,6 +214,8 @@ def _leading_kernel(
             q_ref, out_ref, fout_ref = rest
         else:
             out_ref, fout_ref = rest
+    elif ext:
+        suh_ref, slh_ref, ab_ref, out_ref = refs
     else:
         idx = 0
         if has_mul:
@@ -313,6 +325,15 @@ def _leading_kernel(
                 fout_ref[pl.ds(g, 1)] = fin_ref[pl.ds(g, 1)] + scal_ref[1] * qn
             else:
                 res = tot * s
+                if ext:
+                    # outer rank-2 update: the shard-level unit loads are
+                    # scale-free (the dx power lives in ab via the scaled
+                    # faces), so they apply after the stencil scaling
+                    res = (
+                        res
+                        + ab_ref[pl.ds(0, 1)] * suh_ref[g]
+                        + ab_ref[pl.ds(1, 1)] * slh_ref[g]
+                    )
                 if has_mul:
                     res = res * mul_ref[pl.ds(g, 1)]
                 if has_acc:
@@ -507,6 +528,157 @@ def leading_solve(
     return leading_derivative(
         rhs, 1.0, scheme, interpret=interpret, solve_only=True
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed shard-local solve: halos in, outer interface weights fused in
+# ---------------------------------------------------------------------------
+
+
+def leading_dist_supported(scheme: CompactScheme, nl: int, dtype) -> bool:
+    """Whether the kernel can run one shard's local solve of ``nl`` rows."""
+    return (
+        dtype in (jnp.float32, jnp.bfloat16)
+        and nl >= max(scheme.min_points(), 2 * scheme.stencil_width + 2)
+    )
+
+
+def _call_leading_dist(
+    f,
+    gl,
+    gr,
+    ab,
+    inv_dx,
+    tabs,
+    *,
+    stencil,
+    n,
+    nb,
+    halo,
+    rsupport,
+    has_uh,
+    has_lh,
+    interpret,
+):
+    """Dispatch the ext-mode kernel; ``tabs`` is the traced SMEM table tuple
+    (w, invd, du, uh, lh, t0, rinv, suh, slh) of THIS shard's local system."""
+    kernel = functools.partial(
+        _leading_kernel,
+        n=n,
+        nb=nb,
+        halo=halo,
+        stencil=stencil,
+        rsupport=rsupport,
+        has_uh=has_uh,
+        has_lh=has_lh,
+        ext=True,
+    )
+    if f.ndim == 3:
+        B1, B2 = f.shape[1:]
+        S = _auto_sublanes(n, B1, 2)
+        grid = (B1 // S, B2 // LANE)
+        block = lambda lead: pl.BlockSpec(
+            (lead, S, LANE), lambda j, k: (0, j, k), memory_space=pltpu.VMEM
+        )
+    else:
+        B = f.shape[1]
+        W = 16 * LANE
+        grid = (B // W,)
+        block = lambda lead: pl.BlockSpec(
+            (lead, W), lambda j: (0, j), memory_space=pltpu.VMEM
+        )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    cdt = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(f.shape, cdt),
+        grid=grid,
+        in_specs=[smem(), block(n), block(halo), block(halo)]
+        + [smem()] * 9
+        + [block(2)],
+        out_specs=block(n),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * f.size,
+            bytes_accessed=2 * f.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(inv_dx, cdt).reshape(1),
+        f.astype(cdt),
+        gl.astype(cdt),
+        gr.astype(cdt),
+        *(t.astype(cdt) for t in tabs),
+        ab.astype(cdt),
+    )
+
+
+def leading_dist_derivative(
+    fl: jax.Array,
+    gl: jax.Array,
+    gr: jax.Array,
+    ab: jax.Array,
+    inv_dx,
+    tabs,
+    scheme: CompactScheme,
+    *,
+    nb: int,
+    rsupport,
+    has_uh,
+    has_lh,
+    interpret: bool = False,
+) -> jax.Array:
+    """One shard's local solve of a distributed leading-axis derivative.
+
+    ``fl`` (nl, *batch) is the shard-local block in native layout; ``gl`` /
+    ``gr`` (w, *batch) are halo rows from the neighbour shards (closure
+    ghosts at physical ends); ``ab`` (2, *batch) are the shard's outer
+    interface weights from the all_gather'd reduced solve; ``tabs`` is this
+    shard's slice of parallel/dist_tables.ShardKernelTables.KERNEL_FIELDS.
+    Replaces the round-1 route (moveaxis relayout + flat kernel + two
+    separate XLA phases) with one relayout-free dispatch — the reference
+    runs its best solver shard-locally too (code/cuda/compact.py:18,171).
+    """
+    n = fl.shape[0]
+    bshape = fl.shape[1:]
+    halo = gl.shape[0]
+    if (
+        fl.ndim >= 3
+        and fl.shape[-1] % LANE == 0
+        and int(np.prod(bshape[:-1])) % 8 == 0
+        and _auto_sublanes(n, int(np.prod(bshape[:-1])), 2)
+    ):
+        reshape = lambda a: a.reshape(
+            a.shape[0], int(np.prod(bshape[:-1])), a.shape[-1]
+        )
+        unpad = lambda o: o
+    else:
+        B = int(np.prod(bshape))
+        W = 16 * LANE
+        Bp = -(-B // W) * W
+
+        def reshape(a):
+            a = a.reshape(a.shape[0], B)
+            return jnp.pad(a, ((0, 0), (0, Bp - B))) if Bp != B else a
+
+        unpad = (lambda o: o[:, :B]) if Bp != B else (lambda o: o)
+    out = _call_leading_dist(
+        reshape(fl),
+        reshape(gl),
+        reshape(gr),
+        reshape(ab),
+        inv_dx,
+        tabs,
+        stencil=_stencil(scheme),
+        n=n,
+        nb=nb,
+        halo=halo,
+        rsupport=rsupport,
+        has_uh=has_uh,
+        has_lh=has_lh,
+        interpret=interpret,
+    )
+    return unpad(out).reshape((n,) + bshape).astype(fl.dtype)
 
 
 # ---------------------------------------------------------------------------

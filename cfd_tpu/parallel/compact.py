@@ -328,18 +328,17 @@ def _phase_local_solve(
     )
 
 
-def _phase_reduced(x_r, tables, *, scheme, axis_name, p):
-    """Interface all_gather + redundant reduced solve -> (alpha, beta).
+def _reduced_from_faces(face_f, face_l, rinv_rows, *, scheme, axis_name, p):
+    """Negate/zero interface faces, all_gather, and solve for (alpha, beta).
 
     The reference's ``solve_reduced_system`` (compact.py:66-126) without the
     rank-0 round trip: faces are negated/zeroed (negateAndCopyFaces
     semantics, kernels.cu:76-113), gathered over the line axis, and hit with
     this shard's two rows of the precomputed reduced-matrix inverse."""
-    rinv_rows = tables["rinv_rows"]
-    dtype = x_r.dtype
-    bshape = x_r.shape[1:]
-    face_f = -x_r[0]
-    face_l = -x_r[-1]
+    dtype = face_f.dtype
+    bshape = face_f.shape
+    face_f = -face_f
+    face_l = -face_l
     if not scheme.periodic:
         ridx = lax.axis_index(axis_name)
         zero = jnp.zeros_like(face_f)
@@ -351,11 +350,222 @@ def _phase_reduced(x_r, tables, *, scheme, axis_name, p):
     # HIGHEST keeps the f32 interface weights at f32 accuracy on the MXU;
     # without it this matmul runs in bf16 and corrupts every shard boundary
     return jnp.dot(
-        rinv_rows[0].astype(dtype),
+        rinv_rows.astype(dtype),
         flat,
         preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST,
     ).reshape((2,) + bshape)
+
+
+def _phase_reduced(x_r, tables, *, scheme, axis_name, p):
+    """Interface all_gather + redundant reduced solve from the local solve."""
+    return _reduced_from_faces(
+        x_r[0],
+        x_r[-1],
+        tables["rinv_rows"][0],
+        scheme=scheme,
+        axis_name=axis_name,
+        p=p,
+    )
+
+
+def _halo_ghosts_axis(fl, axis, *, scheme, axis_name, p):
+    """Axis-aware halo/ghost slabs: ``w`` planes of the neighbours along
+    ``axis`` (closure ghosts at physical ends), without relayouting ``fl``.
+
+    The ppermute moves only the w-deep face slabs; the closure-ghost
+    construction (ops/rhs.closure_ghosts, leading-axis convention) runs on
+    a tiny end-slab pair moved to the leading axis — O(w/nl) of the block.
+    """
+    w = scheme.stencil_width
+    nl = fl.shape[axis]
+    sl = lambda lo, hi: lax.slice_in_dim(fl, lo, hi, axis=axis)
+    fwd = [(i, i + 1) for i in range(p - 1)]
+    bwd = [(i + 1, i) for i in range(p - 1)]
+    if scheme.periodic:
+        fwd.append((p - 1, 0))
+        bwd.append((0, p - 1))
+    left = lax.ppermute(sl(nl - w, nl), axis_name, fwd)
+    right = lax.ppermute(sl(0, w), axis_name, bwd)
+    if not scheme.periodic:
+        # ghost construction reads at most m rows from each end; the two
+        # end slabs concatenated are a valid stand-in for the full line
+        m = max(
+            (len(r.rhs_stencil) for r in scheme.left_rows + scheme.right_rows),
+            default=0,
+        )
+        m = min(nl, max(m, scheme.n_closure + w) + 1)
+        ends = jnp.concatenate([sl(0, m), sl(nl - m, nl)], axis=axis)
+        gl, gr = closure_ghosts(jnp.moveaxis(ends, axis, 0), scheme)
+        gl = jnp.moveaxis(gl, 0, axis)
+        gr = jnp.moveaxis(gr, 0, axis)
+        ridx = lax.axis_index(axis_name)
+        left = jnp.where(ridx == 0, gl, left)
+        right = jnp.where(ridx == p - 1, gr, right)
+    return left, right
+
+
+def _stencil_axis(ext, axis, inv_dx, scheme):
+    """Uniform interior stencil along ``axis`` of a ghost-extended slab
+    (the axis-aware sibling of ops/rhs.stencil_rhs)."""
+    w = scheme.stencil_width
+    n = ext.shape[axis] - 2 * w
+    dtype = ext.dtype
+    s = jnp.asarray(scheme.rhs_sign, dtype)
+    sl = lambda lo: lax.slice_in_dim(ext, lo, lo + n, axis=axis)
+    r = None
+    for k, wk in zip(scheme.rhs_offsets, scheme.rhs_weights):
+        t = jnp.asarray(wk, dtype) * (sl(w + k) + s * sl(w - k))
+        r = t if r is None else r + t
+    if scheme.rhs_center:
+        r = r + jnp.asarray(scheme.rhs_center, dtype) * sl(w)
+    return r * jnp.asarray(inv_dx, dtype) ** scheme.derivative_order
+
+
+def _shard_faces_axis(fl, axis, left, right, fw, *, scheme, inv_dx):
+    """Axis-aware interface faces via the truncated inverse-row functionals
+    (see ``_shard_faces``); returns two arrays of ``fl``'s batch shape."""
+    w = scheme.stencil_width
+    nl = fl.shape[axis]
+    K = fw.shape[-1]
+    sl = lambda lo, hi: lax.slice_in_dim(fl, lo, hi, axis=axis)
+    if K >= nl:
+        ext = jnp.concatenate([left, fl, right], axis=axis)
+        rt = rb = _stencil_axis(ext, axis, inv_dx, scheme)
+    else:
+        top = jnp.concatenate([left, sl(0, K + w)], axis=axis)
+        bot = jnp.concatenate([sl(nl - (K + w), nl), right], axis=axis)
+        rt = _stencil_axis(top, axis, inv_dx, scheme)
+        rb = _stencil_axis(bot, axis, inv_dx, scheme)
+    hi = jax.lax.Precision.HIGHEST
+    ax = axis % fl.ndim
+    f0 = jnp.tensordot(rt, fw[0].astype(rt.dtype), axes=([ax], [0]), precision=hi)
+    f1 = jnp.tensordot(rb, fw[1].astype(rb.dtype), axes=([ax], [0]), precision=hi)
+    return f0, f1
+
+
+def _shard_faces(fl, left, right, fw, *, scheme, inv_dx):
+    """Interface faces of the shard-local solve x_R = T_r^{-1} rhs, read
+    directly off truncated inverse-row functionals — no full local solve.
+
+    Tridiagonal inverse rows decay geometrically away from the diagonal, so
+    ``x_R[0]`` / ``x_R[-1]`` are K-term functionals (``fw``, (2, K), from
+    dist_tables.shard_kernel_tables) of the first/last K RHS rows: this
+    phase reads ~2K/nl of the field where the round-1 route ran (and
+    stored) the entire local solve before the reduced phase could start.
+    Returns (2, *batch) faces.
+    """
+    w = scheme.stencil_width
+    nl = fl.shape[0]
+    K = fw.shape[-1]
+    if K >= nl:
+        ext = jnp.concatenate([left, fl, right], axis=0)
+        rt = rb = stencil_rhs(ext, inv_dx, scheme)
+    else:
+        top = jnp.concatenate([left, fl[: K + w]], axis=0)
+        bot = jnp.concatenate([fl[nl - (K + w) :], right], axis=0)
+        rt = stencil_rhs(top, inv_dx, scheme)
+        rb = stencil_rhs(bot, inv_dx, scheme)
+    hi = jax.lax.Precision.HIGHEST
+    f0 = jnp.tensordot(fw[0].astype(rt.dtype), rt, axes=(0, 0), precision=hi)
+    f1 = jnp.tensordot(fw[1].astype(rb.dtype), rb, axes=(0, 0), precision=hi)
+    return f0, f1
+
+
+def _dist_leading_pallas(fl, tabs, skt, *, scheme, axis_name, p, inv_dx, interpret):
+    """Distributed leading-axis derivative, shard-local view (native layout).
+
+    The round-4 fast path: the shard-local solve runs the round-3
+    native-3D substructured kernel (ops/pallas_leading.py) with halos in
+    and the outer rank-2 interface update fused into its backward sweep —
+    ~2 shard-local HBM passes plus the 2K-row face functionals, vs the
+    round-1 route's moveaxis relayout + flat kernel + two separate XLA
+    phases (~6 passes). The reference distributes its best single-GPU
+    solver the same way (code/cuda/compact.py:18,171-173).
+    """
+    from ..ops.pallas_leading import leading_dist_derivative
+    from .dist_tables import ShardKernelTables
+
+    orig_dtype = fl.dtype
+    if orig_dtype == jnp.bfloat16:
+        fl = fl.astype(jnp.float32)
+    left, right = _halo_ghosts(fl, scheme=scheme, axis_name=axis_name, p=p)
+    face_f, face_l = _shard_faces(
+        fl, left, right, tabs["fw"][0], scheme=scheme, inv_dx=inv_dx
+    )
+    ab = _reduced_from_faces(
+        face_f,
+        face_l,
+        tabs["rinv_rows"][0],
+        scheme=scheme,
+        axis_name=axis_name,
+        p=p,
+    )
+    kern_tabs = tuple(
+        tabs[nm][0] for nm in ShardKernelTables.KERNEL_FIELDS
+    )
+    out = leading_dist_derivative(
+        fl,
+        left,
+        right,
+        ab,
+        inv_dx,
+        kern_tabs,
+        scheme,
+        nb=skt.nb,
+        rsupport=skt.rsupport,
+        has_uh=skt.has_uh,
+        has_lh=skt.has_lh,
+        interpret=interpret,
+    )
+    return out.astype(orig_dtype)
+
+
+def _dist_minor_pallas(
+    fl, axis3, tabs, slt, *, scheme, axis_name, p, inv_dx, interpret
+):
+    """Distributed lane/sublane-axis derivative, shard-local view.
+
+    ``axis3`` 1 (dfdy, sublane form) or 2 (dfdx, lane form). Same phase
+    structure as ``_dist_leading_pallas``: truncated-functional faces ->
+    all_gather + reduced matmul -> one fused kernel dispatch with halo
+    lanes in and the outer rank-2 update folded into the write.
+    """
+    from ..ops.pallas_dist import lane_dist_derivative, sublane_dist_derivative
+
+    orig_dtype = fl.dtype
+    if orig_dtype == jnp.bfloat16:
+        fl = fl.astype(jnp.float32)
+    ax = axis3 - 3  # negative indexing over the trailing three dims
+    left, right = _halo_ghosts_axis(
+        fl, ax, scheme=scheme, axis_name=axis_name, p=p
+    )
+    face_f, face_l = _shard_faces_axis(
+        fl, ax, left, right, tabs["fw"][0], scheme=scheme, inv_dx=inv_dx
+    )
+    ab = _reduced_from_faces(
+        face_f,
+        face_l,
+        tabs["rinv_rows"][0],
+        scheme=scheme,
+        axis_name=axis_name,
+        p=p,
+    )  # (2, *batch-minus-line-axis)
+    kern_tabs = tuple(tabs[nm][0] for nm in type(slt).KERNEL_FIELDS)
+    dx = 1.0 / inv_dx
+    if axis3 == 2:
+        ab_l = jnp.moveaxis(ab, 0, -1)  # (..., 2) lane planes
+        out = lane_dist_derivative(
+            fl, left, right, ab_l, dx, kern_tabs, scheme, slt,
+            interpret=interpret,
+        )
+    else:
+        ab_s = jnp.moveaxis(ab, 0, ax)  # two planes along the line axis
+        out = sublane_dist_derivative(
+            fl, left, right, ab_s, dx, kern_tabs, scheme, slt,
+            axis=ax, interpret=interpret,
+        )
+    return out.astype(orig_dtype)
 
 
 def _phase_update(x_r, ab, tables):
@@ -419,6 +629,29 @@ class DistributedCompactSolver:
             self.method, f.dtype, n // p,
             derivative_order=scheme.derivative_order,
         )
+        if (
+            self.method == "auto"
+            and p > 1
+            and f.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        ):
+            # distributed auto on TPU f32: the shard-local round-3 kernels
+            # (halo-in, fused outer update — the round-4 fast path below)
+            # beat the moveaxis + flat-kernel/matmul route wherever they
+            # apply; measured per-shard at the single-device kernels'
+            # throughput class (docs/RESULTS.md round 4)
+            from ..ops.pallas_dist import lane_dist_supported
+            from ..ops.pallas_leading import leading_dist_supported
+            from .dist_tables import pick_nb
+
+            if axis3 == 0:
+                if (
+                    leading_dist_supported(scheme, n // p, f.dtype)
+                    and pick_nb(n // p) >= 2
+                ):
+                    method = "pallas"
+            elif lane_dist_supported(scheme, n // p, f.dtype):
+                method = "pallas"
         if method == "thomas":
             # the distributed local solve has no scan-based Thomas variant;
             # it would ship PCR tables anyway, so alias explicitly rather
@@ -430,6 +663,59 @@ class DistributedCompactSolver:
                 "use method='pcr' for float64 runs"
             )
         dtype = jnp.float64 if f.dtype == jnp.float64 else jnp.float32
+
+        if p > 1 and method == "pallas":
+            # round-4 fast path: the shard-local solve through the round-3
+            # kernel suite (leading / sublane / lane forms per axis), with
+            # halos in and the outer interface update fused into the write
+            from ..ops.pallas_dist import lane_dist_supported
+            from ..ops.pallas_leading import leading_dist_supported
+
+            if axis3 == 0:
+                supported = leading_dist_supported(scheme, n // p, f.dtype)
+            else:
+                supported = lane_dist_supported(scheme, n // p, f.dtype)
+            if supported:
+                from .dist_tables import (
+                    shard_kernel_tables,
+                    shard_lane_fold_tables,
+                    shard_lane_tables,
+                )
+
+                if axis3 == 0:
+                    skt = shard_kernel_tables(scheme, n, p)
+                elif scheme.derivative_order == 1:
+                    skt = shard_lane_tables(scheme, n, p)  # roll form
+                else:
+                    skt = shard_lane_fold_tables(scheme, n, p)  # fold form
+                knames = type(skt).FIELDS
+                karrays = tuple(
+                    jnp.asarray(getattr(skt, nm), jnp.float32)
+                    for nm in knames
+                )
+                spec = grid.spec()
+
+                def body_native(fl, *tabs):
+                    kw = dict(
+                        scheme=scheme,
+                        axis_name=axis_name,
+                        p=p,
+                        inv_dx=inv_dx,
+                        interpret=self.interpret,
+                    )
+                    named = dict(zip(knames, tabs))
+                    if axis3 == 0:
+                        return _dist_leading_pallas(fl, named, skt, **kw)
+                    return _dist_minor_pallas(fl, axis3, named, skt, **kw)
+
+                fn = shard_map(
+                    body_native,
+                    mesh=grid.mesh,
+                    in_specs=(spec,) + tuple(P(axis_name) for _ in karrays),
+                    out_specs=spec,
+                    check_vma=False,
+                )
+                return fn(f, *karrays)
         if method == "phipsi":
             from .phipsi import PHIPSI_FIELDS, phipsi_tables
 
