@@ -23,11 +23,12 @@ its CFD consumer (the LANL CFDNS lineage its oracle comes from,
 solver. The model family is beyond the reference's surface; every spatial
 operator in it is this package's compact one.
 
-Works single-device out of the box. With sharded inputs the momentum
-stages ride the distributed derivative layer, but the projection's global
-FFTs fall to XLA's GSPMD partitioner (gather-heavy over a mesh) — a
-sharded-native projection is future work; prefer single-device grids for
-this model until then.
+Works single-device out of the box, and distributed via
+``NavierStokes.distributed(grid)``: the momentum stages ride the
+round-4 distributed kernel suite (the fused substep on z-unsharded
+meshes, parallel/fused.py), and the projection runs the pencil-FFT
+sharded Poisson (parallel/spectral.py — all_to_all transposes on ICI,
+no GSPMD gathers). ``divergence(step(u))`` is machine zero in both modes.
 """
 
 from __future__ import annotations
@@ -61,6 +62,12 @@ class NavierStokes:
     spacing: Tuple[float, float, float]
     scheme: CompactScheme = SCHEME4_PERIODIC
     nu: float = 1e-3
+    # distributed overrides (None = the single-device ops): the Helmholtz
+    # projector, the compact divergence it annihilates, and the Poisson
+    # inverse the pressure diagnostic uses
+    projector: "Callable" = None
+    div_fn: "Callable" = None
+    poisson_fn: "Callable" = None
 
     def __post_init__(self):
         if not self.scheme.periodic or self.scheme.derivative_order != 1:
@@ -89,6 +96,45 @@ class NavierStokes:
         )
         return cls(derivs=d, spacing=sp, scheme=scheme, nu=nu)
 
+    @classmethod
+    def distributed(
+        cls,
+        grid,
+        nu: float = 1e-3,
+        *,
+        method: str = "auto",
+        interpret: bool = False,
+    ) -> "NavierStokes":
+        """Build over a ``parallel.Grid`` (periodic d1 scheme): momentum
+        stages through the distributed kernel suite (fused substep on
+        z-unsharded meshes), projection/pressure through the pencil-FFT
+        sharded spectral solves."""
+        import dataclasses as _dc
+
+        from ..parallel.compact import DistributedCompactSolver
+        from ..parallel.spectral import project_sharded, solve_poisson_sharded
+
+        scheme = grid.scheme
+        if not scheme.periodic or scheme.derivative_order != 1:
+            raise ValueError(
+                "NavierStokes.distributed needs a grid with a periodic "
+                f"derivative_order=1 scheme; got {scheme.name!r}"
+            )
+        d2 = get_scheme(scheme.order, True, 2)
+        g2 = _dc.replace(grid, scheme=d2)
+        s1 = DistributedCompactSolver(grid, method=method, interpret=interpret)
+        s2 = DistributedCompactSolver(g2, method=method, interpret=interpret)
+        derivs = Derivs.distributed(s1, s2, interpret=interpret)
+        return cls(
+            derivs=derivs,
+            spacing=tuple(grid.spacing),
+            scheme=scheme,
+            nu=nu,
+            projector=lambda u: project_sharded(u, grid, scheme),
+            div_fn=s1.divergence,
+            poisson_fn=lambda rhs: solve_poisson_sharded(rhs, grid, scheme),
+        )
+
     # -- operators ----------------------------------------------------------
 
     def _burgers(self) -> Burgers:
@@ -96,10 +142,14 @@ class NavierStokes:
 
     def project(self, u):
         """Discrete Helmholtz projection of a velocity field."""
+        if self.projector is not None:
+            return self.projector(u)
         return project(u, self.spacing, self.scheme)
 
     def divergence(self, u) -> jax.Array:
         """The compact divergence the projection annihilates."""
+        if self.div_fn is not None:
+            return self.div_fn(u)
         return single.divergence(u, self.spacing, self.scheme)
 
     def pressure(self, u) -> jax.Array:
@@ -120,6 +170,8 @@ class NavierStokes:
             adv.append(ux * cx + uy * cy + uz * cz)
         rhs = -self.divergence(tuple(adv))
         rhs = rhs - jnp.mean(rhs)
+        if self.poisson_fn is not None:
+            return self.poisson_fn(rhs)
         return solve_poisson(rhs, self.spacing, self.scheme)
 
     def kinetic_energy(self, u) -> jax.Array:
