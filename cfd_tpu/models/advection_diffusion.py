@@ -97,11 +97,26 @@ class Derivs:
         )
 
     @classmethod
-    def distributed(cls, solver, d2_solver=None):
+    def distributed(cls, solver, d2_solver=None, *, interpret: bool = False):
         """``d2_solver``: a DistributedCompactSolver over the same grid
         geometry with a derivative_order=2 scheme; its axis ops *are*
-        second derivatives, so their sum is the sharded Laplacian."""
+        second derivatives, so their sum is the sharded Laplacian.
+
+        With a d2 solver the bundle also carries the distributed fused
+        substep (parallel/fused.py): on meshes that leave z whole the RK3
+        substep runs the round-4 shard-local kernel suite + the mega
+        kernel in one traced program — the substep itself decides support
+        at trace time and the model falls back to the generic step
+        otherwise. ``gradient`` fuses dfdx+dfdy into one shard-local pair
+        read on z-pencil meshes.
+        """
+        from ..parallel.fused import (
+            make_fused_substep_distributed,
+            make_gradient_distributed,
+        )
+
         lap = None
+        fused = None
         if d2_solver is not None:
             if d2_solver.grid.scheme.derivative_order != 2:
                 raise ValueError(
@@ -110,8 +125,17 @@ class Derivs:
             lap = lambda f: (
                 d2_solver.dfdx(f) + d2_solver.dfdy(f) + d2_solver.dfdz(f)
             )
+            if solver.grid.scheme.derivative_order == 1:
+                fused = make_fused_substep_distributed(
+                    solver, d2_solver, interpret=interpret
+                )
         return cls(
-            dfdx=solver.dfdx, dfdy=solver.dfdy, dfdz=solver.dfdz, laplacian=lap
+            dfdx=solver.dfdx,
+            dfdy=solver.dfdy,
+            dfdz=solver.dfdz,
+            laplacian=lap,
+            gradient=make_gradient_distributed(solver),
+            fused_substep=fused,
         )
 
 

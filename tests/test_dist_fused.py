@@ -1,0 +1,130 @@
+"""Distributed fused RK3 substep and pencil-FFT spectral solves.
+
+parallel/fused.py + parallel/spectral.py — the round-4 pieces that make
+the production pipelines (fused substep, Poisson, projection) genuinely
+distributed rather than single-device-with-GSPMD-gathers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu import schemes
+from cfd_tpu.models.advection_diffusion import AdvectionDiffusion, Derivs
+from cfd_tpu.ops.poisson import solve_poisson
+from cfd_tpu.parallel import Grid, make_mesh
+from cfd_tpu.parallel.compact import DistributedCompactSolver
+from cfd_tpu.parallel.spectral import (
+    pencil_fft3,
+    project_sharded,
+    solve_poisson_sharded,
+)
+
+SPACING = (0.1, 0.11, 0.12)
+
+
+def _smooth(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = [np.linspace(0, 2 * np.pi, s, endpoint=False) for s in shape]
+    Z, Y, X = np.meshgrid(*xs, indexing="ij")
+    return np.sin(X) * np.cos(Y) * np.sin(Z) + 0.1 * rng.standard_normal(shape)
+
+
+@pytest.mark.parametrize(
+    "mesh_shape", [(2, 2, 2), (8, 1, 1), (1, 1, 8), (2, 4, 1)]
+)
+def test_pencil_fft_roundtrip(mesh_shape):
+    shape = (32, 64, 48)
+    rng = np.random.default_rng(1)
+    f = rng.standard_normal(shape)
+    grid = Grid(make_mesh(mesh_shape), shape, SPACING, schemes.SCHEME4_PERIODIC)
+    rt = np.asarray(pencil_fft3(jnp.asarray(f), grid))
+    assert np.max(np.abs(rt - f)) < 1e-12
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_sharded_poisson_matches_single_device(order):
+    shape = (32, 64, 48)
+    sch = schemes.get_scheme(4, True, order)
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal(shape)
+    rhs -= rhs.mean()
+    grid = Grid(make_mesh((2, 2, 2)), shape, SPACING, sch)
+    ps = np.asarray(solve_poisson_sharded(jnp.asarray(rhs), grid, sch, mean=0.3))
+    p1 = np.asarray(solve_poisson(jnp.asarray(rhs), SPACING, sch, mean=0.3))
+    assert np.max(np.abs(ps - p1)) < 1e-12 * np.max(np.abs(p1))
+
+
+def test_sharded_projection_kills_divergence():
+    shape = (32, 64, 64)
+    sch = schemes.SCHEME4_PERIODIC
+    grid = Grid(make_mesh((2, 2, 2)), shape, SPACING, sch)
+    rng = np.random.default_rng(3)
+    u = tuple(jnp.asarray(rng.standard_normal(shape)) for _ in range(3))
+    up = project_sharded(u, grid, sch)
+    solver = DistributedCompactSolver(grid)
+    div = np.asarray(solver.divergence(up))
+    scale = max(float(np.max(np.abs(np.asarray(c)))) for c in up)
+    assert np.max(np.abs(div)) < 1e-10 * scale
+    # idempotent: projecting again changes nothing
+    upp = project_sharded(up, grid, sch)
+    for a, b in zip(up, upp):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-10 * scale
+
+
+def test_dist_fused_substep_matches_generic_step():
+    """One RK3 step through parallel/fused.py vs the generic distributed
+    step with float64 PCR derivatives, on a z-unsharded mesh."""
+    sch = schemes.SCHEME4_PERIODIC
+    d2 = schemes.get_scheme(4, True, 2)
+    # (1,2,1): the y axis runs the dist sublane kernels, x the whole-axis
+    # single-device kernels — the lane dist forms are covered in
+    # test_dist_kernels; keeping x whole halves this test's 1-core runtime
+    shape = (64, 256, 128)
+    mesh = make_mesh((1, 2, 1))
+    g1 = Grid(mesh, shape, SPACING, sch)
+    g2 = Grid(mesh, shape, SPACING, d2)
+    s1 = DistributedCompactSolver(g1, method="pallas", interpret=True)
+    s2 = DistributedCompactSolver(g2, method="pallas", interpret=True)
+    dv = Derivs.distributed(s1, s2, interpret=True)
+    assert dv.fused_substep is not None
+    model = AdvectionDiffusion(dv, nu=1e-3)
+
+    r1 = DistributedCompactSolver(g1, method="pcr")
+    r2 = DistributedCompactSolver(g2, method="pcr")
+    ref_dv = Derivs.distributed(r1, r2)
+    ref_dv = Derivs(
+        dfdx=ref_dv.dfdx,
+        dfdy=ref_dv.dfdy,
+        dfdz=ref_dv.dfdz,
+        laplacian=ref_dv.laplacian,
+    )
+    ref = AdvectionDiffusion(ref_dv, nu=1e-3)
+
+    f0 = _smooth(shape)
+    u32 = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (_smooth(shape, 4), _smooth(shape, 5), _smooth(shape, 6))
+    )
+    u64 = tuple(jnp.asarray(np.asarray(a), jnp.float64) for a in u32)
+    ff = np.asarray(model.step(jnp.asarray(f0, jnp.float32), u32, 1e-3))
+    fr = np.asarray(ref.step(jnp.asarray(f0), u64, 1e-3))
+    err = np.max(np.abs(ff - fr)) / np.max(np.abs(fr))
+    assert err < 1e-5, err
+
+
+def test_dist_fused_substep_declines_z_sharded_mesh():
+    sch = schemes.SCHEME4_PERIODIC
+    d2 = schemes.get_scheme(4, True, 2)
+    shape = (64, 256, 256)
+    mesh = make_mesh((2, 2, 2))  # z sharded: the mega kernel cannot run
+    # (declines at trace time, before any kernel compiles — cheap test)
+    g1 = Grid(mesh, shape, SPACING, sch)
+    g2 = Grid(mesh, shape, SPACING, d2)
+    s1 = DistributedCompactSolver(g1, method="pallas", interpret=True)
+    s2 = DistributedCompactSolver(g2, method="pallas", interpret=True)
+    dv = Derivs.distributed(s1, s2, interpret=True)
+    f = jnp.zeros(shape, jnp.float32)
+    u = (f, f, f)
+    assert dv.fused_substep(f, u, None, 1e-3, 1e-3, 0.0, 1.0 / 3.0) is None
