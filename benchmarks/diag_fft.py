@@ -84,6 +84,8 @@ def main(n: int = 256):
     hp = jax.lax.Precision.HIGHEST
 
     def dftz_c(x):
+        if x.dtype != jnp.complex64:  # packed-real form: unstack first
+            x = unpack(x)
         xr, xi = jnp.real(x), jnp.imag(x)
         rr = jnp.tensordot(Wr_j, xr, axes=([1], [0]), precision=hp)
         ri = jnp.tensordot(Wr_j, xi, axes=([1], [0]), precision=hp)
@@ -91,7 +93,7 @@ def main(n: int = 256):
         ii = jnp.tensordot(Wi_j, xi, axes=([1], [0]), precision=hp)
         return (rr - ii) + 1j * (ri + ir)
 
-    t("matmul DFT axis=-3 on c64 (HIGHEST)", dftz_c, fh)
+    t("matmul DFT axis=-3 on c64 (HIGHEST)", lambda p: pack(dftz_c(p)), fh)
 
     # hybrid forward: rfft2 over minor axes + matmul DFT over z
     def hybrid_fwd(x):
@@ -110,6 +112,61 @@ def main(n: int = 256):
         return jnp.fft.irfftn(ph, s=x.shape, axes=(-3, -2, -1)).astype(x.dtype)
 
     t("poisson spectral stage (pair + diag mult)", poisson_pair)
+
+    # full matmul-DFT Poisson pair: every axis as MXU tensordots against
+    # precomputed DFT matrices (r2c on x), HIGHEST precision
+    nf = n // 2 + 1
+    th = 2 * np.pi * np.outer(np.arange(nf), np.arange(n)) / n
+    Cx = jnp.asarray(np.cos(-th), jnp.float32)  # (nf, n)
+    Sx = jnp.asarray(np.sin(-th), jnp.float32)
+    # c2c inverse along x needs the full spectrum implied by hermitian
+    # symmetry; build the real-output inverse directly: f = Re(conj-sym
+    # expansion) = Cx2 @ re - Sx2 @ im with doubled interior columns
+    w2 = np.full(nf, 2.0)
+    w2[0] = 1.0
+    if n % 2 == 0:
+        w2[-1] = 1.0
+    thi = 2 * np.pi * np.outer(np.arange(n), np.arange(nf)) / n
+    Cxi = jnp.asarray(np.cos(thi) * w2 / n, jnp.float32)  # (n, nf)
+    Sxi = jnp.asarray(np.sin(thi) * w2 / n, jnp.float32)
+
+    def dft_axis(re, im, C, S, axis):
+        ax = axis % re.ndim
+        rr = jnp.tensordot(C, re, axes=([1], [ax]), precision=hp)
+        ri = jnp.tensordot(C, im, axes=([1], [ax]), precision=hp) if im is not None else None
+        ir = jnp.tensordot(S, re, axes=([1], [ax]), precision=hp)
+        ii = jnp.tensordot(S, im, axes=([1], [ax]), precision=hp) if im is not None else None
+        re2 = rr if ii is None else rr - ii
+        im2 = ir if ri is None else ir + ri
+        # tensordot puts the transformed axis first; move it back
+        re2 = jnp.moveaxis(re2, 0, ax)
+        im2 = jnp.moveaxis(im2, 0, ax)
+        return re2, im2
+
+    Wc = jnp.asarray(Wr / 1.0, jnp.float32)
+    Ws = jnp.asarray(Wi / 1.0, jnp.float32)
+    Wci = jnp.asarray(Wr.T / n, jnp.float32)
+    Wsi = jnp.asarray(-Wi.T / n, jnp.float32)
+
+    def poisson_pair_matmul(x):
+        re, im = dft_axis(x, None, Cx, Sx, -1)  # r2c along x
+        re, im = dft_axis(re, im, Wc, Ws, -2)
+        re, im = dft_axis(re, im, Wc, Ws, -3)
+        re, im = re * inv, im * inv
+        re, im = dft_axis(re, im, Wci, Wsi, -3)
+        re, im = dft_axis(re, im, Wci, Wsi, -2)
+        # c2r along x: f = Cxi @ re - Sxi @ im (hermitian fold in Cxi/Sxi)
+        ax = re.ndim - 1
+        out = jnp.tensordot(Cxi, re, axes=([1], [ax]), precision=hp) - \
+            jnp.tensordot(Sxi, im, axes=([1], [ax]), precision=hp)
+        return jnp.moveaxis(out, 0, ax).astype(x.dtype)
+
+    # accuracy gate before timing (full size: the DFT matrices are (n, n))
+    probe = f
+    werr = float(jnp.max(jnp.abs(poisson_pair_matmul(probe) - poisson_pair(probe))))
+    wref = float(jnp.max(jnp.abs(poisson_pair(probe))))
+    print(f"matmul-poisson vs fft-poisson max err {werr:.3e} (ref max {wref:.3e})")
+    t("poisson MATMUL-DFT stage (all axes MXU)", poisson_pair_matmul)
 
 
 if __name__ == "__main__":
