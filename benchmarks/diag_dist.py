@@ -57,7 +57,7 @@ def main(nl: int = 256, p: int = 4):
         jnp.asarray(getattr(skt, nm)[r], jnp.float32)
         for nm in ShardKernelTables.KERNEL_FIELDS
     )
-    fwz = jnp.asarray(skt.fw[r], jnp.float32)
+    fvz = jnp.asarray(skt.fv[r], jnp.float32)
     slt = shard_lane_tables(sch, n, p)
     ltabs = tuple(
         jnp.asarray(getattr(slt, nm)[r], jnp.float32)
@@ -90,9 +90,9 @@ def main(nl: int = 256, p: int = 4):
     def z_full(f, gl, gr):
         # faces + (emulated) reduced matmul + kernel — the full shard-local
         # sequence; the all_gather payload (2 planes) is excluded
-        from cfd_tpu.parallel.compact import _shard_faces
+        from cfd_tpu.parallel.compact import _shard_faces_axis
 
-        f0, f1 = _shard_faces(f, gl, gr, fwz, scheme=sch, inv_dx=10.0)
+        f0, f1 = _shard_faces_axis(f, 0, gl, gr, fvz, scheme=sch, inv_dx=10.0)
         faces = jnp.stack([-f0, -f1])
         gathered = jnp.tile(faces.reshape(2, -1), (p, 1))  # (2p, B) stand-in
         ab = jnp.dot(
@@ -117,7 +117,7 @@ def main(nl: int = 256, p: int = 4):
         from cfd_tpu.parallel.compact import _shard_faces_axis
 
         f0, f1 = _shard_faces_axis(
-            f, -1, hl, hr, jnp.asarray(slt.fw[r], jnp.float32),
+            f, -1, hl, hr, jnp.asarray(slt.fv[r], jnp.float32),
             scheme=sch, inv_dx=10.0,
         )
         faces = jnp.stack([-f0, -f1])

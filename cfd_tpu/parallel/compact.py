@@ -422,54 +422,53 @@ def _stencil_axis(ext, axis, inv_dx, scheme):
     return r * jnp.asarray(inv_dx, dtype) ** scheme.derivative_order
 
 
-def _shard_faces_axis(fl, axis, left, right, fw, *, scheme, inv_dx):
-    """Axis-aware interface faces via the truncated inverse-row functionals
-    (see ``_shard_faces``); returns two arrays of ``fl``'s batch shape."""
-    w = scheme.stencil_width
-    nl = fl.shape[axis]
-    K = fw.shape[-1]
-    sl = lambda lo, hi: lax.slice_in_dim(fl, lo, hi, axis=axis)
-    if K >= nl:
-        ext = jnp.concatenate([left, fl, right], axis=axis)
-        rt = rb = _stencil_axis(ext, axis, inv_dx, scheme)
-    else:
-        top = jnp.concatenate([left, sl(0, K + w)], axis=axis)
-        bot = jnp.concatenate([sl(nl - (K + w), nl), right], axis=axis)
-        rt = _stencil_axis(top, axis, inv_dx, scheme)
-        rb = _stencil_axis(bot, axis, inv_dx, scheme)
-    hi = jax.lax.Precision.HIGHEST
-    ax = axis % fl.ndim
-    f0 = jnp.tensordot(rt, fw[0].astype(rt.dtype), axes=([ax], [0]), precision=hi)
-    f1 = jnp.tensordot(rb, fw[1].astype(rb.dtype), axes=([ax], [0]), precision=hi)
-    return f0, f1
+def _shard_faces_axis(fl, axis, left, right, fv, *, scheme, inv_dx):
+    """Interface faces of the shard-local solve ``x_R = T_r^{-1} rhs``,
+    read directly off *folded* truncated functionals — no local solve, no
+    stencil pass.
 
-
-def _shard_faces(fl, left, right, fw, *, scheme, inv_dx):
-    """Interface faces of the shard-local solve x_R = T_r^{-1} rhs, read
-    directly off truncated inverse-row functionals — no full local solve.
-
-    Tridiagonal inverse rows decay geometrically away from the diagonal, so
-    ``x_R[0]`` / ``x_R[-1]`` are K-term functionals (``fw``, (2, K), from
-    dist_tables.shard_kernel_tables) of the first/last K RHS rows: this
-    phase reads ~2K/nl of the field where the round-1 route ran (and
-    stored) the entire local solve before the reduced phase could start.
-    Returns (2, *batch) faces.
+    Tridiagonal inverse rows decay geometrically away from the diagonal,
+    so ``x_R[0]`` / ``x_R[-1]`` are K-term functionals of the first/last K
+    RHS rows; folding the stencil in (``fv = S^T fw``, (2, K+2w), from
+    dist_tables) turns each face into ONE dot against the raw end slab +
+    one against the w halo rows. On the lane axis the slab is padded to a
+    128-lane tile (zero-padding the vector) so the DMA reads full tiles
+    instead of 4-byte runs. Returns two arrays of ``fl``'s batch shape,
+    scaled like the kernels' output (inv_dx**order).
     """
     w = scheme.stencil_width
-    nl = fl.shape[0]
-    K = fw.shape[-1]
-    if K >= nl:
-        ext = jnp.concatenate([left, fl, right], axis=0)
-        rt = rb = stencil_rhs(ext, inv_dx, scheme)
-    else:
-        top = jnp.concatenate([left, fl[: K + w]], axis=0)
-        bot = jnp.concatenate([fl[nl - (K + w) :], right], axis=0)
-        rt = stencil_rhs(top, inv_dx, scheme)
-        rb = stencil_rhs(bot, inv_dx, scheme)
+    nl = fl.shape[axis]
+    Ke = fv.shape[-1]
+    K = Ke - 2 * w
+    ax = axis % fl.ndim
     hi = jax.lax.Precision.HIGHEST
-    f0 = jnp.tensordot(fw[0].astype(rt.dtype), rt, axes=(0, 0), precision=hi)
-    f1 = jnp.tensordot(fw[1].astype(rb.dtype), rb, axes=(0, 0), precision=hi)
-    return f0, f1
+    dtype = fl.dtype
+    fv = fv.astype(dtype)
+    sl = lambda lo, hi_: lax.slice_in_dim(fl, lo, hi_, axis=axis)
+
+    def dot(a, v):
+        return jnp.tensordot(a, v, axes=([ax], [0]), precision=hi)
+
+    if K >= nl:
+        ext = jnp.concatenate([left, fl, right], axis=axis)
+        f0 = dot(ext, fv[0])
+        f1 = dot(ext, fv[1])
+    else:
+        L = K + w
+        if ax == fl.ndim - 1 and nl % 128 == 0:
+            # lane axis: read whole 128-lane tiles, pad the vector
+            L = min(nl, -(-L // 128) * 128)
+        pad = L - (K + w)
+        v0f = fv[0, w:]
+        v1f = fv[1, : K + w]
+        if pad:
+            zeros = jnp.zeros((pad,), dtype)
+            v0f = jnp.concatenate([v0f, zeros])
+            v1f = jnp.concatenate([zeros, v1f])
+        f0 = dot(sl(0, L), v0f) + dot(left, fv[0, :w])
+        f1 = dot(sl(nl - L, nl), v1f) + dot(right, fv[1, K + w :])
+    scale = jnp.asarray(inv_dx, dtype) ** scheme.derivative_order
+    return f0 * scale, f1 * scale
 
 
 def _dist_leading_pallas(fl, tabs, skt, *, scheme, axis_name, p, inv_dx, interpret):
@@ -490,8 +489,8 @@ def _dist_leading_pallas(fl, tabs, skt, *, scheme, axis_name, p, inv_dx, interpr
     if orig_dtype == jnp.bfloat16:
         fl = fl.astype(jnp.float32)
     left, right = _halo_ghosts(fl, scheme=scheme, axis_name=axis_name, p=p)
-    face_f, face_l = _shard_faces(
-        fl, left, right, tabs["fw"][0], scheme=scheme, inv_dx=inv_dx
+    face_f, face_l = _shard_faces_axis(
+        fl, 0, left, right, tabs["fv"][0], scheme=scheme, inv_dx=inv_dx
     )
     ab = _reduced_from_faces(
         face_f,
@@ -541,7 +540,7 @@ def _dist_minor_pallas(
         fl, ax, scheme=scheme, axis_name=axis_name, p=p
     )
     face_f, face_l = _shard_faces_axis(
-        fl, ax, left, right, tabs["fw"][0], scheme=scheme, inv_dx=inv_dx
+        fl, ax, left, right, tabs["fv"][0], scheme=scheme, inv_dx=inv_dx
     )
     ab = _reduced_from_faces(
         face_f,

@@ -220,6 +220,9 @@ class ShardKernelTables:
     suh: np.ndarray  # (p, nl) shard unit loads T_r^{-1}(-alpha e_0)
     slh: np.ndarray  # (p, nl)
     fw: np.ndarray  # (p, 2, K) truncated face rows of T_r^{-1}
+    fv: np.ndarray  # (p, 2, K+2w) folded face vectors (stencil @ fw):
+    #   fv[r, 0] applies to [left_halo(w); f[:K+w]], fv[r, 1] to
+    #   [f[nl-K-w:]; right_halo(w)] — one dot each, no stencil pass
     rinv_rows: np.ndarray  # (p, 2, 2p) outer reduced-inverse rows
     # static (unioned across shards)
     nb: int
@@ -229,7 +232,7 @@ class ShardKernelTables:
     has_lh: tuple
 
     KERNEL_FIELDS = ("w", "invd", "du", "uh", "lh", "t0", "rinv", "suh", "slh")
-    FIELDS = KERNEL_FIELDS + ("fw", "rinv_rows")
+    FIELDS = KERNEL_FIELDS + ("fv", "rinv_rows")
 
 
 @functools.lru_cache(maxsize=None)
@@ -282,6 +285,24 @@ def shard_kernel_tables(scheme: CompactScheme, n: int, p: int) -> ShardKernelTab
         [rows[:, 0, :K], rows[:, 1, nl - K :]], axis=1
     )  # (p, 2, K)
 
+    # folded face vectors: with S the (K, K+2w) uniform interior stencil
+    # over the halo-extended slab (closures ride in ghost rows, exactly
+    # like the kernels), the face is fw . (S ext) = (S^T fw) . ext — one
+    # dot against the raw slab, no separate stencil pass. The caller
+    # multiplies by inv_dx**derivative_order at runtime.
+    w_st = scheme.stencil_width
+    S = np.zeros((K, K + 2 * w_st))
+    sgn = float(scheme.rhs_sign)
+    for i in range(K):
+        for k, wk in zip(scheme.rhs_offsets, scheme.rhs_weights):
+            S[i, w_st + i + k] += wk
+            S[i, w_st + i - k] += sgn * wk
+        if scheme.rhs_center:
+            S[i, w_st + i] += scheme.rhs_center
+    fv = np.einsum("ij,pi->pj", S, fw[:, 0])  # (p, K+2w)
+    fv1 = np.einsum("ij,pi->pj", S, fw[:, 1])
+    fv = np.stack([fv, fv1], axis=1)  # (p, 2, K+2w)
+
     return ShardKernelTables(
         w=np.stack(per["w"]),
         invd=np.stack(per["invd"]),
@@ -293,6 +314,7 @@ def shard_kernel_tables(scheme: CompactScheme, n: int, p: int) -> ShardKernelTab
         suh=outer.uh,
         slh=outer.lh,
         fw=fw,
+        fv=fv,
         rinv_rows=outer.rinv_rows,
         nb=nb,
         K=K,
@@ -376,7 +398,7 @@ class LaneShardTables:
     Qd: np.ndarray  # (p, 2w, nl)
     suh: np.ndarray  # (p, nl)
     slh: np.ndarray  # (p, nl)
-    fw: np.ndarray  # (p, 2, K)
+    fv: np.ndarray  # (p, 2, K+2w) folded face vectors
     rinv_rows: np.ndarray  # (p, 2, 2p)
     nb: int
     K: int
@@ -388,7 +410,7 @@ class LaneShardTables:
     cut_meta: tuple  # per cut row: (qd_row, ((src, lane, coeff), ...))
 
     KERNEL_FIELDS = ("Tm", "D", "Qd", "suh", "slh")
-    FIELDS = KERNEL_FIELDS + ("fw", "rinv_rows")
+    FIELDS = KERNEL_FIELDS + ("fv", "rinv_rows")
 
 
 def _cut_meta(scheme: CompactScheme, nl: int):
@@ -474,7 +496,7 @@ def shard_lane_tables(scheme: CompactScheme, n: int, p: int) -> LaneShardTables:
         Qd=np.stack(Qds),
         suh=base.suh,
         slh=base.slh,
-        fw=base.fw,
+        fv=base.fv,
         rinv_rows=base.rinv_rows,
         nb=nb,
         K=base.K,
@@ -588,7 +610,7 @@ class LaneFoldShardTables:
     D: np.ndarray  # (p, 2nb, nl)
     suh: np.ndarray  # (p, nl)
     slh: np.ndarray  # (p, nl)
-    fw: np.ndarray  # (p, 2, K)
+    fv: np.ndarray  # (p, 2, K+2w) folded face vectors
     rinv_rows: np.ndarray  # (p, 2, 2p)
     nb: int
     K: int
@@ -600,7 +622,7 @@ class LaneFoldShardTables:
     demean: bool
 
     KERNEL_FIELDS = ("Mt", "E", "D", "suh", "slh")
-    FIELDS = KERNEL_FIELDS + ("fw", "rinv_rows")
+    FIELDS = KERNEL_FIELDS + ("fv", "rinv_rows")
 
 
 @functools.lru_cache(maxsize=None)
@@ -657,7 +679,7 @@ def shard_lane_fold_tables(
         D=np.stack([t[2] for t in per]),
         suh=base.suh,
         slh=base.slh,
-        fw=base.fw,
+        fv=base.fv,
         rinv_rows=base.rinv_rows,
         nb=nb,
         K=base.K,
