@@ -102,8 +102,10 @@ def main(n: int = 256):
 
     t("hybrid fwd: rfft2(minor) + matmul DFT z", hybrid_fwd)
 
-    # the projection's actual spectral stage: multiply + round trip
-    lam = -(np.random.rand(n, 1, 1) + np.random.rand(1, n, 1)
+    # the projection's actual spectral stage: multiply + round trip.
+    # lam bounded away from 0: near-null synthetic modes would amplify BOTH
+    # methods' f32 rounding by ~1/lam and swamp the method comparison
+    lam = -(1.0 + np.random.rand(n, 1, 1) + np.random.rand(1, n, 1)
             + np.random.rand(1, 1, n // 2 + 1)).astype(np.float32)
     inv = jnp.asarray(1.0 / lam)
 

@@ -37,6 +37,7 @@ run compact schemes *for*.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +131,118 @@ def _fft_dtypes(dtype):
     return jnp.float32, jnp.complex64
 
 
+# ---------------------------------------------------------------------------
+# matmul-DFT transforms: the spectral round trip as MXU tensordots
+# ---------------------------------------------------------------------------
+#
+# XLA's TPU FFT underuses the hardware: at 256^3 f32 the rfftn+irfftn pair
+# measures 4.9 ms while the same transforms as dense DFT matmuls (HIGHEST
+# precision, tables built in float64) run 3.4 ms (benchmarks/diag_fft.py) —
+# the MXU turns the O(n) extra MACs/point into a non-issue and the memory
+# pattern becomes plain matmul tiles instead of FFT butterflies. Rounding
+# is O(sqrt(n)) eps relative to the spectral scale, the same class as the
+# f32 FFT's own; the f64 path keeps jnp.fft (exactness for oracle tests).
+# Tables are (n, n) float32 — 256 KB at n=256, cached per axis length.
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_tables(n: int):
+    """(Cx, Sx, Wc, Ws, Wci, Wsi, Cxi, Sxi) float32, built in float64.
+
+    Forward kernel exp(-i th): r2c rows (Cx, Sx) of shape (n//2+1, n) and
+    c2c (Wc, Ws) of (n, n); inverse c2c (Wci, Wsi) = conj/n; c2r rows
+    (Cxi, Sxi) of (n, n//2+1) with the hermitian doubling folded in.
+    """
+    k = np.arange(n)
+    nf = n // 2 + 1
+    th = 2.0 * np.pi * np.outer(k, k) / n
+    Wc = np.cos(th)
+    Ws = -np.sin(th)
+    thr = 2.0 * np.pi * np.outer(np.arange(nf), k) / n
+    Cx = np.cos(thr)
+    Sx = -np.sin(thr)
+    w2 = np.full(nf, 2.0)
+    w2[0] = 1.0
+    if n % 2 == 0:
+        w2[-1] = 1.0
+    thi = 2.0 * np.pi * np.outer(k, np.arange(nf)) / n
+    Cxi = np.cos(thi) * w2 / n
+    Sxi = np.sin(thi) * w2 / n
+    f32 = lambda a: np.asarray(a, np.float32)
+    return (
+        f32(Cx),
+        f32(Sx),
+        f32(Wc),
+        f32(Ws),
+        f32(Wc / n),
+        f32(-Ws / n),
+        f32(Cxi),
+        f32(Sxi),
+    )
+
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _dft_apply(re, im, C, S, axis):
+    """One complex DFT stage along ``axis`` as real tensordots."""
+    ax = axis % re.ndim
+    C = jnp.asarray(C)
+    S = jnp.asarray(S)
+    rr = jnp.tensordot(C, re, axes=([1], [ax]), precision=_HP)
+    ir = jnp.tensordot(S, re, axes=([1], [ax]), precision=_HP)
+    if im is None:
+        re2, im2 = rr, ir
+    else:
+        ri = jnp.tensordot(C, im, axes=([1], [ax]), precision=_HP)
+        ii = jnp.tensordot(S, im, axes=([1], [ax]), precision=_HP)
+        re2, im2 = rr - ii, ir + ri
+    return jnp.moveaxis(re2, 0, ax), jnp.moveaxis(im2, 0, ax)
+
+
+def _rfft3_mm(x):
+    """rfftn over the trailing three axes as (re, im) float32 pairs."""
+    nz, ny, nx = x.shape[-3:]
+    Cx, Sx = _dft_tables(nx)[:2]
+    re, im = _dft_apply(x.astype(jnp.float32), None, Cx, Sx, -1)
+    for ax, n in ((-2, ny), (-3, nz)):
+        _, _, Wc, Ws = _dft_tables(n)[:4]
+        re, im = _dft_apply(re, im, Wc, Ws, ax)
+    return re, im
+
+
+def _irfft3_mm(re, im, nx: int):
+    """Inverse of ``_rfft3_mm`` (real output, trailing axis restored)."""
+    nz, ny = re.shape[-3], re.shape[-2]
+    for ax, n in ((-3, nz), (-2, ny)):
+        t = _dft_tables(n)
+        re, im = _dft_apply(re, im, t[4], t[5], ax)
+    Cxi, Sxi = _dft_tables(nx)[6:]
+    ax = re.ndim - 1
+    out = jnp.tensordot(
+        jnp.asarray(Cxi), re, axes=([1], [ax]), precision=_HP
+    ) - jnp.tensordot(jnp.asarray(Sxi), im, axes=([1], [ax]), precision=_HP)
+    return jnp.moveaxis(out, 0, ax)
+
+
+def _use_matmul_dft(shape, dtype) -> bool:
+    """auto: the MXU transform wins on TPU f32 up to table-friendly sizes.
+
+    ``CFD_TPU_MATMUL_DFT=0/1`` overrides (read at trace time — flipping it
+    after a shape has been jitted does not retrace; benchmarking A/B runs
+    use fresh processes or call the transform internals directly).
+    """
+    knob = os.environ.get("CFD_TPU_MATMUL_DFT", "auto")
+    if knob in ("0", "1"):
+        return knob == "1"
+    return (
+        dtype == jnp.float32
+        and len(shape) == 3
+        and max(shape) <= 1024
+        and jax.default_backend() == "tpu"
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("scheme", "spacing", "mean"))
 def _solve_poisson(rhs, scheme, spacing, mean):
     rdt, cdt = _fft_dtypes(rhs.dtype)
@@ -137,9 +250,18 @@ def _solve_poisson(rhs, scheme, spacing, mean):
     inv = np.zeros_like(lam)
     nonzero = lam != 0.0
     inv[nonzero] = 1.0 / lam[nonzero]
+    npts = rhs.shape[-3] * rhs.shape[-2] * rhs.shape[-1]
+    if _use_matmul_dft(rhs.shape, rhs.dtype):
+        re, im = _rfft3_mm(rhs)
+        invj = jnp.asarray(inv, rdt)
+        re = re * invj
+        im = im * invj
+        if mean != 0.0:
+            re = re.at[..., 0, 0, 0].set(mean * npts)
+            im = im.at[..., 0, 0, 0].set(0.0)
+        return _irfft3_mm(re, im, rhs.shape[-1]).astype(rhs.dtype)
     p_hat = jnp.fft.rfftn(rhs, axes=(-3, -2, -1)) * jnp.asarray(inv, rdt)
     if mean != 0.0:
-        npts = rhs.shape[-3] * rhs.shape[-2] * rhs.shape[-1]
         p_hat = p_hat.at[..., 0, 0, 0].set(mean * npts)
     return jnp.fft.irfftn(
         p_hat.astype(cdt), s=rhs.shape[-3:], axes=(-3, -2, -1)

@@ -148,3 +148,22 @@ def test_poisson_rejects_bad_schemes():
         solve_poisson(jnp.zeros(SHAPE), SP, get_filter())  # filter
     with pytest.raises(ValueError):
         solve_poisson(jnp.zeros((4, 4)), SP, get_scheme(4, True, 2))  # 2-D
+
+
+def test_matmul_dft_transforms_match_fft():
+    """The MXU matmul-DFT spectral round trip (ops/poisson._rfft3_mm /
+    _irfft3_mm — the TPU-auto transform behind solve_poisson) must match
+    jnp.fft to f32 resolution."""
+    import numpy as np
+
+    from cfd_tpu.ops.poisson import _irfft3_mm, _rfft3_mm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 24, 32)), jnp.float32)
+    re, im = _rfft3_mm(x)
+    ref = jnp.fft.rfftn(x, axes=(-3, -2, -1))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(re - ref.real))) < 1e-5 * scale
+    assert float(jnp.max(jnp.abs(im - ref.imag))) < 1e-5 * scale
+    back = _irfft3_mm(re, im, 32)
+    assert float(jnp.max(jnp.abs(back - x))) < 1e-5
