@@ -84,10 +84,11 @@ def resolve_method(
         # where measured (256^3 f32, same-run interleaved): d2 1.9x/1.3x the
         # dense matmul on minor/second-minor axes with equal-or-better
         # accuracy; filters 1.4x on the second-minor axis, but LOSE on the
-        # minor axis (0.33 vs 0.28 ms — the width-3 filter stencil triples
-        # the per-block edge-lane FMAs, which are exposed VPU time in the
-        # lane orientation). Deeper axes and long lines take the
-        # dense/blocked MXU operator.
+        # minor axis (0.272 vs 0.228 ms device — the width-3 filter stencil
+        # triples the per-block edge-lane FMAs, which are exposed VPU time
+        # in the lane orientation, while the matmul runs at auto-HIGH
+        # precision for order 0: 73.5 Gpt/s, filter_v5e.json). Deeper axes
+        # and long lines take the dense/blocked MXU operator.
         from .pallas_lane import FOLD_MAX, lane_supported
 
         fold_ok = (
@@ -385,13 +386,22 @@ def derivative(
     *,
     axis: int = -1,
     method: str = "auto",
-    matmul_precision: str = "highest",
+    matmul_precision: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Compact derivative of ``f`` along ``axis`` with spacing ``dx``.
 
     The scheme's ``derivative_order`` selects first (default schemes) or
     second derivative (``get_scheme(..., derivative=2)`` / SCHEME*_D2).
+
+    ``matmul_precision`` (None = auto) sets the MXU pass count of the
+    'matmul' backend for f32 fields: derivatives need 'highest' (bf16x6 —
+    the O(1/dx**order) scale amplifies rounding), but order-0 filters have
+    no spacing amplification, so auto drops them to 'high' (bf16x3): 1.6x
+    faster at 256^3 (0.228 vs 0.360 ms device, 73.5 Gpt/s — the HIGHEST
+    form is MXU-bound, not HBM-bound) at ~3e-5 relative error against the
+    f64 oracle instead of ~6e-7 (benchmarks/results/filter_v5e.json).
+    Pass 'highest' explicitly for filters at f32 roundoff.
 
     ``method`` selects the backend: 'auto' (default; picks per dtype/backend/
     axis/size, see ``resolve_method``), 'matmul' (dense operator on the MXU),
@@ -440,9 +450,13 @@ def derivative(
             )
     if method == "matmul":
         # MXU passes for f32 inputs: 'highest' (bf16x6, ~1e-6 abs err on
-        # smooth fields) is the default; 'high' (bf16x3) halves the MXU cost
-        # but coherent truncation on smooth data costs ~1e-4 absolute. bf16
-        # inputs always take the fast single pass.
+        # smooth fields) for derivatives; 'high' (bf16x3) for order-0
+        # filters (see the docstring — no 1/dx amplification, half the MXU
+        # cost). bf16 inputs always take the fast single pass.
+        if matmul_precision is None:
+            matmul_precision = (
+                "high" if scheme.derivative_order == 0 else "highest"
+            )
         prec = matmul_precision if f.dtype != jnp.bfloat16 else None
         n = f.shape[axis]
         if n > _MATMUL_BLOCK:
