@@ -58,11 +58,15 @@ def main():
     gates["post_step_rel_divergence"] = div
     assert div < 1e-4, div
 
-    # matmul-DFT Poisson vs the f32 FFT reference on a well-conditioned rhs
+    # matmul-DFT Poisson vs a HOST f64 FFT reference on a random rhs.
+    # (The TPU's own f32 jnp.fft is NOT a usable reference: at 256^3 it
+    # mangles Nyquist-plane modes ~28% — measured below and recorded as a
+    # gate value — which is itself a reason solve_poisson routes TPU f32
+    # through the MXU tensordot transforms.)
     rng = np.random.default_rng(0)
-    rhs = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
-    rhs = rhs - jnp.mean(rhs)
-    p_auto = solve_poisson(rhs, dx, sch)  # matmul-DFT on TPU
+    rhs_np = rng.standard_normal((n, n, n))
+    rhs_np -= rhs_np.mean()
+    rhs = jnp.asarray(rhs_np, jnp.float32)
     rdt = jnp.float32
     from cfd_tpu.ops.poisson import laplacian_eigenvalues
 
@@ -70,6 +74,18 @@ def main():
     lam = laplacian_eigenvalues(sch_p, rhs.shape, (dx, dx, dx))
     inv = np.zeros_like(lam)
     inv[lam != 0.0] = 1.0 / lam[lam != 0.0]
+    p_ref = np.fft.irfftn(
+        np.fft.rfftn(rhs_np, axes=(-3, -2, -1)) * inv,
+        s=rhs_np.shape,
+        axes=(-3, -2, -1),
+    )
+    scale = float(np.max(np.abs(p_ref)))
+
+    p_auto = np.asarray(solve_poisson(rhs, dx, sch))  # matmul-DFT on TPU
+    perr = float(np.max(np.abs(p_auto - p_ref))) / scale
+    print(f"matmul-DFT poisson vs host f64 FFT rel err: {perr:.2e}")
+    gates["matmul_dft_poisson_vs_f64_rel"] = perr
+    assert perr < 1e-5, perr
 
     @jax.jit
     def poisson_fft(r):
@@ -78,12 +94,10 @@ def main():
             ph.astype(jnp.complex64), s=r.shape, axes=(-3, -2, -1)
         ).astype(r.dtype)
 
-    p_fft = poisson_fft(rhs)
-    scale = float(jnp.max(jnp.abs(p_fft)))
-    perr = float(jnp.max(jnp.abs(p_auto - p_fft))) / scale
-    print(f"matmul-DFT vs FFT poisson rel err: {perr:.2e}")
-    gates["matmul_dft_vs_fft_poisson_rel"] = perr
-    assert perr < 1e-4, perr
+    p_fft = np.asarray(poisson_fft(rhs))
+    ferr = float(np.max(np.abs(p_fft - p_ref))) / scale
+    print(f"TPU f32 FFT poisson vs host f64 FFT rel err: {ferr:.2e}")
+    gates["tpu_f32_fft_poisson_vs_f64_rel"] = ferr
 
     rows = {}
 
