@@ -57,10 +57,20 @@ def run_config(mesh_shape, n, results):
     # algorithm (phi/psi parameterized-LU sweeps) for a measured comparison
     # — the analogue of lanl-implementation/time_npts.c:89-99
     phipsi = cfd_tpu.DistributedCompactSolver(grid, method="phipsi")
+    # backend-matched substructuring: phipsi's local compute is dense
+    # matmuls (linv/uinv rows, parallel/phipsi.py:181-189), while 'auto'
+    # resolves the substructuring local solve to PCR on CPU — log(n)
+    # full-array passes that the round-3 sweep conflated with the
+    # algorithm (docs/DESIGN.md). method='matmul' runs the substructuring
+    # local solve through the same dense-operator class, so the
+    # substructuring-vs-phipsi delta in these rows is the ALGORITHM
+    # (collective pattern + closure work), not the backend.
+    sub_mm = cfd_tpu.DistributedCompactSolver(grid, method="matmul")
 
     for name, axis in AXES:
         solvers = [("substructuring", solver)]
         if mesh_shape[axis] > 1:
+            solvers.append(("substructuring-matmul", sub_mm))
             solvers.append(("phipsi", phipsi))
         for method_name, sv in solvers:
             got = np.asarray(sv._derivative(fj, axis), np.float64)
