@@ -7,7 +7,9 @@ device-timeline capture committed. The round-3 verdict asked for the
 back out of the profiler's device timeline — the same mechanism behind
 rk3_v5e.json / filter_v5e.json / ns_v5e.json) on every headline axis op.
 
-This script gates each op against the f64 PCR oracle, then measures
+This script gates each op against the host scipy-banded oracle in real
+float64 (computed with numpy on the host — the TPU has no native f64, so
+an on-device "f64" reference would silently downcast), then measures
 dfdx / dfdy / dfdz (auto routing: lane / sublane / native-3D leading
 kernels) and the four-pass streaming laplacian at 256^3 f32, and commits
 benchmarks/results/axis_ops_v5e.json.
@@ -46,14 +48,16 @@ def main():
     f = jnp.asarray(f64, jnp.float32)
     pts = n**3
 
-    # f64 oracles (PCR path: matches scipy-banded at 1e-10)
+    # host f64 oracles (scipy-banded, true float64 — on-device references
+    # would downcast to f32 on TPU, gating one f32 path against another)
+    from cfd_tpu.oracle import derivative_np
+
     refs = {}
     for ax, name in ((-1, "dfdx"), (-2, "dfdy"), (-3, "dfdz")):
-        refs[name] = np.asarray(
-            derivative(jnp.asarray(f64), dx, sch, axis=ax, method="pcr")
-        )
-    refs["laplacian"] = np.asarray(
-        laplacian(jnp.asarray(f64), dx, SCHEME4_D2_PERIODIC, method="pcr")
+        refs[name] = derivative_np(sch, f64, dx, axis=ax)
+    refs["laplacian"] = sum(
+        derivative_np(SCHEME4_D2_PERIODIC, f64, dx, axis=ax)
+        for ax in (-1, -2, -3)
     )
 
     cands = {
@@ -71,6 +75,9 @@ def main():
         ref = refs[name]
         scale = float(np.max(np.abs(ref)))
         err = float(np.max(np.abs(np.asarray(fn(f)) - ref))) / scale
+        # gate before measuring: an accuracy regression must fail the run,
+        # not silently commit a passing-looking artifact of record
+        assert err < 2e-5, f"{name}: rel err vs host f64 oracle {err:.2e}"
         best = math.inf
         floor_best = math.inf
         for _ in range(4):
@@ -110,6 +117,7 @@ def main():
             fh,
             indent=1,
         )
+        fh.write("\n")
     print(f"\nwrote {out_path}")
 
 

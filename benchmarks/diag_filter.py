@@ -11,8 +11,8 @@ The lever this script measures: filters are derivative_order=0 — output
 magnitude equals input magnitude, NO O(1/dx) rounding amplification (the
 reason derivatives need HIGHEST) — so the dense operator can run at
 Precision.HIGH (three passes, ~0.13 ms of MXU) and stay at f32-level
-accuracy. Gates each candidate against the f64 PCR oracle first, then
-times by device timeline:
+accuracy. Gates (asserted) each candidate against the host scipy-banded
+f64 oracle first, then times by device timeline:
 
   - matmul HIGHEST (round-3 auto)
   - matmul HIGH (the candidate)
@@ -51,10 +51,11 @@ def main():
     f = jnp.asarray(f64, jnp.float32)
     pts = n**3
 
-    # f64 oracle (PCR path, matches scipy at 1e-10)
-    ref = np.asarray(
-        derivative(jnp.asarray(f64), 1.0, sch, axis=-1, method="pcr")
-    )
+    # host f64 oracle (scipy-banded; an on-device reference would run f32
+    # on TPU — no native f64 — and gate one f32 path against another)
+    from cfd_tpu.oracle import derivative_np
+
+    ref = derivative_np(sch, f64, 1.0, axis=-1)
     scale = float(np.max(np.abs(ref)))
 
     cands = {
@@ -73,6 +74,7 @@ def main():
     print(f"-- filter_x {n}^3 f32, device-timeline minima over 3 captures --")
     for name, fn in cands.items():
         err = float(np.max(np.abs(np.asarray(fn(f)) - ref))) / scale
+        assert err < 2e-5, f"{name}: rel err vs host f64 oracle {err:.2e}"
         best = math.inf
         floor_best = math.inf
         for _ in range(3):
@@ -109,6 +111,7 @@ def main():
             fh,
             indent=1,
         )
+        fh.write("\n")
     print(f"\nwrote {out_path}")
 
 

@@ -155,6 +155,7 @@ def main():
     }
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
+        fh.write("\n")
     print(f"\nwrote {out_path}")
     print(f"\nNS step: {t_step:.2f} ms (round-3 baseline 29.9 ms)")
 
