@@ -91,9 +91,12 @@ def resolve_method(
         # and long lines take the dense/blocked MXU operator.
         from .pallas_lane import FOLD_MAX, lane_supported
 
+        # n == 128 single-block lines stay on the dense matmul for 'auto':
+        # the nb=1 kernel route exists (for the fused pipelines at 128-point
+        # shards) but does the same 128 MACs/point as the dense operator
         fold_ok = (
             dtype in (jnp.float32, jnp.bfloat16)
-            and n <= FOLD_MAX
+            and 256 <= n <= FOLD_MAX
             and lane_supported(None, n, dtype)
         )
         if fold_ok and (second_minor or (minor_axis and derivative_order == 2)):
@@ -105,9 +108,9 @@ def resolve_method(
         # f32-internal HIGHEST dots are a pure tax there)
         from .pallas_lane import lane_supported
 
-        if minor_axis and lane_supported(None, n, dtype):
+        if minor_axis and n >= 256 and lane_supported(None, n, dtype):
             return "pallas"
-        if second_minor and lane_supported(None, n, dtype):
+        if second_minor and n >= 256 and lane_supported(None, n, dtype):
             return "pallas"
     return "matmul" if n <= _MATMUL_BLOCK else "pallas"
 

@@ -128,11 +128,17 @@ def lane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
     per-block demean stays valid (measured 1.9x the dense matmul at 256^3
     with equal accuracy); filters skip demeaning (their B preserves
     constants) and have no cancellation to lose.
+
+    n == 128 (round 5) is the single-block case: one block cyclically
+    coupled to itself — direction_tables builds the self-coupled 2x2
+    reduced system, and the kernels run unchanged with nb=1. This is what
+    lets the fused pipelines (pair/vec/megastep) serve 128-point lines,
+    e.g. the shards of a 256^3 grid on a 2x2x2 mesh.
     """
     return (
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK_LANES == 0
-        and n // BLOCK_LANES >= 2
+        and n // BLOCK_LANES >= 1
     )
 
 
@@ -707,8 +713,7 @@ def lane_derivative(
     n = f.shape[-1]
     if not lane_supported(scheme, n, f.dtype):
         raise ValueError(
-            f"lane kernel needs n % {BLOCK_LANES} == 0 and >= 2 blocks; "
-            f"got n={n}"
+            f"lane kernel needs n % {BLOCK_LANES} == 0; got n={n}"
         )
     if scheme.derivative_order != 1:
         if fold is False:

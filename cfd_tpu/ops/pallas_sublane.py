@@ -58,12 +58,13 @@ def sublane_supported(scheme: CompactScheme, n: int, dtype) -> bool:
 
     d2 and filter schemes run through the table-generic fold form at any
     supported n (see ``lane_supported``; filters skip the mean
-    subtraction).
+    subtraction). n == 128 runs the single-block (nb=1, self-coupled
+    reduced system) route — see ``lane_supported``.
     """
     return (
         dtype in (jnp.float32, jnp.bfloat16)
         and n % BLOCK == 0
-        and n // BLOCK >= 2
+        and n // BLOCK >= 1
     )
 
 
@@ -85,29 +86,31 @@ def _sublane_kernel(
     d_blocks=None,
     squeezed: bool = False,
 ):
-    """One (n, C) column-block; see module docstring for the step list."""
-    blocks = sublane_roll_blocks(
-        f_ref[:] if squeezed else f_ref[0],
-        t_ref,
-        d_ref,
-        q_ref,
-        n=n,
-        nb=nb,
-        scheme=scheme,
-        closure_taps=closure_taps,
-        closure_blocks=closure_blocks,
-        d_nonzero=d_nonzero,
-        wfold=wfold,
-        compute_dtype=compute_dtype,
-        d_blocks=d_blocks,
-    )
+    """One (n, C) column-block (or R of them stacked when the tile carries
+    R batch planes); see module docstring for the step list."""
     m = BLOCK
-    for b in range(nb):
-        blk = blocks[b].astype(out_ref.dtype)
-        if squeezed:
-            out_ref[m * b : m * (b + 1), :] = blk
-        else:
-            out_ref[0, m * b : m * (b + 1), :] = blk
+    for r in range(1 if squeezed else f_ref.shape[0]):
+        blocks = sublane_roll_blocks(
+            f_ref[:] if squeezed else f_ref[r],
+            t_ref,
+            d_ref,
+            q_ref,
+            n=n,
+            nb=nb,
+            scheme=scheme,
+            closure_taps=closure_taps,
+            closure_blocks=closure_blocks,
+            d_nonzero=d_nonzero,
+            wfold=wfold,
+            compute_dtype=compute_dtype,
+            d_blocks=d_blocks,
+        )
+        for b in range(nb):
+            blk = blocks[b].astype(out_ref.dtype)
+            if squeezed:
+                out_ref[m * b : m * (b + 1), :] = blk
+            else:
+                out_ref[r, m * b : m * (b + 1), :] = blk
 
 
 def sublane_roll_blocks(
@@ -241,26 +244,28 @@ def _sublane_fold_kernel(
     d_blocks=None,
     squeezed: bool = False,
 ):
-    """One (n, C) column-block, fold form (see ops/pallas_lane.py)."""
+    """One (n, C) column-block (or R stacked planes), fold form (see
+    ops/pallas_lane.py)."""
     m = BLOCK
-    blocks = sublane_fold_blocks(
-        f_ref[:] if squeezed else f_ref[0],
-        t_ref,
-        d_ref,
-        e_ref,
-        nb=nb,
-        edges_meta=edges_meta,
-        d_nonzero=d_nonzero,
-        compute_dtype=compute_dtype,
-        demean=demean,
-        d_blocks=d_blocks,
-    )
-    for b in range(nb):
-        blk = blocks[b].astype(out_ref.dtype)
-        if squeezed:
-            out_ref[m * b : m * (b + 1), :] = blk
-        else:
-            out_ref[0, m * b : m * (b + 1), :] = blk
+    for r in range(1 if squeezed else f_ref.shape[0]):
+        blocks = sublane_fold_blocks(
+            f_ref[:] if squeezed else f_ref[r],
+            t_ref,
+            d_ref,
+            e_ref,
+            nb=nb,
+            edges_meta=edges_meta,
+            d_nonzero=d_nonzero,
+            compute_dtype=compute_dtype,
+            demean=demean,
+            d_blocks=d_blocks,
+        )
+        for b in range(nb):
+            blk = blocks[b].astype(out_ref.dtype)
+            if squeezed:
+                out_ref[m * b : m * (b + 1), :] = blk
+            else:
+                out_ref[r, m * b : m * (b + 1), :] = blk
 
 
 def _sublane_pallas(kernel, f3, tables, *, n, cols, interpret):
@@ -272,6 +277,12 @@ def _sublane_pallas(kernel, f3, tables, *, n, cols, interpret):
     identical kernel body at 0.41-0.45 ms where the 1-D grid runs 0.237 ms
     — a degenerate leading grid dimension defeats Pallas's pipelining, and
     was the entire "dfdz is the weak axis" gap of round 2.
+
+    The mirror case (round 5): L <= cols (dfdy at 256^3 — L = nx = 256 is
+    one column tile) used to emit grid (B, 1), a degenerate TRAILING grid
+    dimension, and was the entire "dfdy is the weak axis" gap of round 4
+    (0.262 ms vs a 0.203 copy floor). It collapses to a 1-D grid over the
+    batch planes, with R planes per step when VMEM allows.
     """
     B, _, L = f3.shape
     est = dict(
@@ -282,6 +293,41 @@ def _sublane_pallas(kernel, f3, tables, *, n, cols, interpret):
         ),
         interpret=interpret,
     )
+    if B > 1 and L == cols:
+        # R batch planes per grid step (same ~12 MiB working-set budget as
+        # _pick_cols: in/out double-buffered + the kernel temps)
+        R = 1
+        while (
+            R < 8
+            and B % (2 * R) == 0
+            and 7 * (2 * R) * n * L * f3.dtype.itemsize <= 12 * 1024 * 1024
+        ):
+            R *= 2
+        return pl.pallas_call(
+            functools.partial(kernel, squeezed=False),
+            out_shape=jax.ShapeDtypeStruct((B, n, L), f3.dtype),
+            grid=(B // R,),
+            in_specs=[
+                pl.BlockSpec(
+                    (R, n, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ]
+            + [
+                pl.BlockSpec(
+                    t.shape,
+                    lambda i, nd=t.ndim: (0,) * nd,
+                    memory_space=pltpu.VMEM,
+                )
+                for t in tables
+            ],
+            out_specs=pl.BlockSpec(
+                (R, n, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            ),
+            **est,
+        )(f3, *tables)
     if B == 1:
         whole = lambda *shape: pl.BlockSpec(
             shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -411,7 +457,7 @@ def sublane_derivative(
     n = f.shape[axis]
     if not sublane_supported(scheme, n, f.dtype):
         raise ValueError(
-            f"sublane kernel needs n % {BLOCK} == 0 and >= 2 blocks; got n={n}"
+            f"sublane kernel needs n % {BLOCK} == 0; got n={n}"
         )
     if scheme.derivative_order != 1:
         if fold is False:

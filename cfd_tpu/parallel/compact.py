@@ -135,14 +135,18 @@ def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
         # unit-load secondary systems (compact.py:128-154): the coupling of
         # this block's first/last row to its neighbours is the interior
         # off-diagonal alpha; closure rows at physical ends have none.
+        # p == 1 periodic is the single-block case (one block cyclically
+        # coupled to ITSELF — the lane/sublane kernels' nb=1 route): the
+        # self-coupling solutions and the 2x2 cyclic reduced system are
+        # real there, so only non-periodic physical ends zero them.
         e = np.zeros(nl)
-        if p > 1 and (periodic or r > 0):
+        if periodic or r > 0:
             e[0] = -alpha
             uhs.append(tridiag._thomas_solve_np(*bands, e))
             e[0] = 0.0
         else:
             uhs.append(np.zeros(nl))
-        if p > 1 and (periodic or r < p - 1):
+        if periodic or r < p - 1:
             e[-1] = -alpha
             lhs_.append(tridiag._thomas_solve_np(*bands, e))
         else:
@@ -156,22 +160,25 @@ def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
     R = np.zeros((m, m))
     for r in range(p):
         er, orow = 2 * r, 2 * r + 1
+        # entries ACCUMULATE: at p == 1 periodic the cyclic neighbour is
+        # the block itself, so the -1 coupling terms land on the same
+        # entries as the uh/lh terms (plain assignment would overwrite)
         # even row: -t_r + UH_r^f alpha_r + LH_r^f beta_r = -x_R^f,
         # where t_r = beta_{r-1} = u[2r-1] (cyclically for periodic)
-        R[er, er] = uh[r, 0]
-        R[er, orow] = lh[r, 0]
+        R[er, er] += uh[r, 0]
+        R[er, orow] += lh[r, 0]
         if r > 0:
-            R[er, er - 1] = -1.0
+            R[er, er - 1] += -1.0
         elif periodic:
-            R[er, m - 1] = -1.0
+            R[er, m - 1] += -1.0
         # odd row: UH_r^l alpha_r + LH_r^l beta_r - t_{r+1} = -x_R^l,
         # where t_{r+1} = alpha_{r+1} = u[2r+2]
-        R[orow, er] = uh[r, -1]
-        R[orow, orow] = lh[r, -1]
+        R[orow, er] += uh[r, -1]
+        R[orow, orow] += lh[r, -1]
         if r < p - 1:
-            R[orow, orow + 1] = -1.0
+            R[orow, orow + 1] += -1.0
         elif periodic:
-            R[orow, 0] = -1.0
+            R[orow, 0] += -1.0
     if not periodic:
         # physical ends: alpha_0 = 0, beta_{p-1} = 0 (identity rows, the
         # analogue of the reference's kernels.cu:106-111)
@@ -179,7 +186,7 @@ def direction_tables(scheme: CompactScheme, n: int, p: int) -> DirectionTables:
         R[0, 0] = 1.0
         R[m - 1, :] = 0.0
         R[m - 1, m - 1] = 1.0
-    if p == 1:
+    if p == 1 and not periodic:
         rinv_rows = np.zeros((1, 2, 2))
     else:
         rinv = np.linalg.inv(R)

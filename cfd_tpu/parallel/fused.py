@@ -1,4 +1,4 @@
-"""Distributed fused RK3 substep for meshes that do not shard z.
+"""Distributed fused RK3 substep.
 
 The single-device fused substep (ops/fused_step.py) is TWO dispatches and
 12 HBM passes; its kernels assume whole lines in every direction. On a
@@ -17,7 +17,18 @@ head runs through the round-4 distributed kernel suite:
               the same constraint the single-device lap_rhs carries)
   q', f'    — the mega kernel, shard-local
 
-One traced program per substep; the only collectives are the four face
+On z-SHARDED meshes (round 5 — e.g. the reference's canonical 2x2x2
+topology, ref-results/256-8.txt) the mega kernel's whole-z assumption
+fails, so the tail runs the distributed leading form instead
+(ops/pallas_leading.py::leading_dist_derivative — halo rows in, the outer
+rank-2 interface update fused into the backward sweep): fz and d2z are
+two shard-local dispatches, and the Williamson update
+``q' = a q + dt (nu lap - adv); f' = f + b q'`` is one XLA elementwise
+fusion. Still ONE traced program per substep with six face all_gathers —
+vs the generic path's six separate collective-bearing derivative calls
+plus a nine-array elementwise pass.
+
+One traced program per substep; the only collectives are the face
 all_gathers (2 planes each) of the sharded-axis solves. The generic
 distributed step this replaces ran ~6 separate collective-bearing
 derivative ops plus a nine-array XLA elementwise pass per substep.
@@ -35,7 +46,11 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..schemes import CompactScheme
-from .compact import DistributedCompactSolver, _dist_minor_pallas
+from .compact import (
+    DistributedCompactSolver,
+    _dist_leading_pallas,
+    _dist_minor_pallas,
+)
 from .mesh import AXIS_NAMES
 
 __all__ = ["make_fused_substep_distributed", "make_gradient_distributed"]
@@ -68,9 +83,11 @@ def make_fused_substep_distributed(
 ):
     """Build ``substep(f, u, q, dt, nu, a, b, last=False) -> (q', f') | None``
     over the solvers' grid — the distributed counterpart of
-    ops/fused_step.make_fused_substep. Returns ``None`` at trace time when
-    the fused path does not apply (z sharded, non-periodic d2, unsupported
-    local shapes); the model then runs its generic distributed step.
+    ops/fused_step.make_fused_substep. z-whole meshes run the mega-kernel
+    tail; z-sharded meshes run the distributed-leading tail (two extra
+    dispatches). Returns ``None`` at trace time when the fused path does
+    not apply (non-periodic schemes, unsupported local shapes, non-f32);
+    the model then runs its generic distributed step.
     """
     grid = solver.grid
     scheme = grid.scheme
@@ -84,39 +101,65 @@ def make_fused_substep_distributed(
     spec = grid.spec()
 
     def substep(f, u, q, dt, nu, a, b, last=False):
-        from ..ops.pallas_leading import rk3_update_supported
         from ..ops.pallas_megastep import rk3_mega, rk3_mega_supported
 
-        if pz != 1 or not d2.periodic or not scheme.periodic:
+        if not d2.periodic or not scheme.periodic:
             return None
         if f.dtype != jnp.float32:
             return None
-        local = (nz, ny // py, nx // px)
+        z_whole = pz == 1
+        local = (nz // pz, ny // py, nx // px)
         if not (
             _minor_supported(scheme, nx, px, f.dtype)
             and _minor_supported(scheme, ny, py, f.dtype)
             and _minor_supported(d2, nx, px, f.dtype)
             and _minor_supported(d2, ny, py, f.dtype)
-            and rk3_mega_supported(
-                scheme, d2, local, f.dtype, has_q=q is not None
-            )
         ):
             return None
+        if z_whole:
+            if not rk3_mega_supported(
+                scheme, d2, local, f.dtype, has_q=q is not None
+            ):
+                return None
+        else:
+            # z sharded: tail runs the distributed leading form for both
+            # schemes (fz + the d2z Laplacian contribution)
+            from ..ops.pallas_leading import leading_dist_supported
+            from .dist_tables import pick_nb
+
+            if not (
+                leading_dist_supported(scheme, nz // pz, f.dtype)
+                and leading_dist_supported(d2, nz // pz, f.dtype)
+                and pick_nb(nz // pz) >= 2
+            ):
+                return None
         if not interpret and jax.default_backend() not in ("tpu",):
             return None
 
-        # stacked per-shard tables for each sharded minor axis
-        groups = []  # (axis3, skt, names, arrays) in a fixed order
-        for axis3, n_ax, p_ax, sch in (
+        # stacked per-shard tables for each sharded axis; z groups (leading
+        # form, indices 4 and 5) only exist on z-sharded meshes
+        axes_wanted = [
             (2, nx, px, scheme),
             (1, ny, py, scheme),
             (2, nx, px, d2),
             (1, ny, py, d2),
-        ):
+        ]
+        if not z_whole:
+            axes_wanted += [(0, nz, pz, scheme), (0, nz, pz, d2)]
+        groups = []  # (axis3, skt, names, arrays) in a fixed order
+        for axis3, n_ax, p_ax, sch in axes_wanted:
             if p_ax == 1:
                 groups.append(None)
                 continue
-            skt, names = _axis_tables(sch, n_ax, p_ax, sch.derivative_order)
+            if axis3 == 0:
+                from .dist_tables import shard_kernel_tables
+
+                skt = shard_kernel_tables(sch, n_ax, p_ax)
+                names = type(skt).FIELDS
+            else:
+                skt, names = _axis_tables(
+                    sch, n_ax, p_ax, sch.derivative_order
+                )
             arrays = tuple(
                 jnp.asarray(getattr(skt, nm), jnp.float32) for nm in names
             )
@@ -158,11 +201,38 @@ def make_fused_substep_distributed(
                 interpret=interpret,
             )
 
+        def axis_deriv_z(fl, idx, sch, tabs):
+            """fz / d2z via the distributed leading kernel (z sharded)."""
+            axis3, skt, names, start, count = slices[idx]
+            named = dict(zip(names, tabs[start : start + count]))
+            return _dist_leading_pallas(
+                fl,
+                named,
+                skt,
+                scheme=sch,
+                axis_name=AXIS_NAMES[0],
+                p=pz,
+                inv_dx=1.0 / dz,
+                interpret=interpret,
+            )
+
         def body(fl, uxl, uyl, uzl, ql, *tabs):
             fx = axis_deriv(fl, 0, scheme, dx, tabs)
             fy = axis_deriv(fl, 1, scheme, dy, tabs)
             d2x_ = axis_deriv(fl, 2, d2, dx, tabs)
             d2y_ = axis_deriv(fl, 3, d2, dy, tabs)
+            if not z_whole:
+                # z sharded: two distributed leading dispatches finish the
+                # derivative set; the Williamson update is one XLA fusion
+                fz = axis_deriv_z(fl, 4, scheme, tabs)
+                d2z_ = axis_deriv_z(fl, 5, d2, tabs)
+                adv = uxl * fx + uyl * fy + uzl * fz
+                lap = d2x_ + d2y_ + d2z_
+                qn = dt * (nu * lap - adv)
+                if has_q:
+                    qn = a * ql + qn
+                fn = fl + b * qn
+                return qn, fn
             axy = uxl * fx + uyl * fy
             acc = d2x_ + d2y_
             # r = B_z f + T_z acc: cyclic z-stencils (z whole, d2 periodic);

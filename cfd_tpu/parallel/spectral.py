@@ -65,24 +65,77 @@ def _fft_plan(proc_shape):
     return plan, shards_of
 
 
-def _fft3_fwd(fl, plan):
+def _use_mm_stages(dtype, shape) -> bool:
+    """Whether the per-axis pencil transforms run as MXU matmul-DFT stages
+    (ops/poisson._dft_tables) instead of ``jnp.fft``.
+
+    On TPU f32 this is BOTH a correctness and a speed choice: the TPU's
+    own f32 FFT mangles Nyquist-plane modes (~2.8e-1 at 256^3, measured
+    vs host f64 numpy — benchmarks/results/ns_v5e.json gates), and the
+    dense-DFT tensordots beat it at table-friendly sizes. Same knob as
+    the single-device route (CFD_TPU_MATMUL_DFT, read at trace time).
+    """
+    import os
+
+    knob = os.environ.get("CFD_TPU_MATMUL_DFT", "auto")
+    if knob in ("0", "1"):
+        return knob == "1"
+    return (
+        dtype == jnp.float32
+        and max(shape) <= 1024
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _fft3_fwd(fl, plan, use_mm=False):
+    from ..ops.poisson import _dft_apply, _dft_tables
+
     f = fl
     for axis, split, g in plan:
         if g:
             f = lax.all_to_all(
                 f, g, split_axis=split, concat_axis=axis, tiled=True
             )
-        f = jnp.fft.rfft(f, axis=2) if axis == 2 else jnp.fft.fft(f, axis=axis)
+        if not use_mm:
+            f = (
+                jnp.fft.rfft(f, axis=2)
+                if axis == 2
+                else jnp.fft.fft(f, axis=axis)
+            )
+            continue
+        n = f.shape[axis]
+        t = _dft_tables(n)
+        if axis == 2:  # r2c on the real input
+            re, im = _dft_apply(f, None, t[0], t[1], 2)
+        else:
+            re, im = _dft_apply(jnp.real(f), jnp.imag(f), t[2], t[3], axis)
+        f = lax.complex(re, im)
     return f
 
 
-def _fft3_inv(fh, plan, nx_full):
+def _fft3_inv(fh, plan, nx_full, use_mm=False):
+    from ..ops.poisson import _DFT_PREC, _dft_apply, _dft_tables
+
     f = fh
     for axis, split, g in reversed(plan):
-        if axis == 2:
-            f = jnp.fft.irfft(f, n=nx_full, axis=2)
+        if not use_mm:
+            if axis == 2:
+                f = jnp.fft.irfft(f, n=nx_full, axis=2)
+            else:
+                f = jnp.fft.ifft(f, axis=axis)
+        elif axis == 2:  # c2r, hermitian doubling folded into the tables
+            t = _dft_tables(nx_full)
+            re, im = jnp.real(f), jnp.imag(f)
+            out = jnp.tensordot(
+                jnp.asarray(t[6]), re, axes=([1], [2]), precision=_DFT_PREC
+            ) - jnp.tensordot(
+                jnp.asarray(t[7]), im, axes=([1], [2]), precision=_DFT_PREC
+            )
+            f = jnp.moveaxis(out, 0, 2)
         else:
-            f = jnp.fft.ifft(f, axis=axis)
+            t = _dft_tables(f.shape[axis])
+            re, im = _dft_apply(jnp.real(f), jnp.imag(f), t[4], t[5], axis)
+            f = lax.complex(re, im)
         if g:
             f = lax.all_to_all(
                 f, g, split_axis=axis, concat_axis=split, tiled=True
@@ -125,10 +178,13 @@ def pencil_fft3(f: jax.Array, grid: Grid) -> jax.Array:
     _check_divisibility(grid.shape, grid.proc_shape)
     plan, _ = _fft_plan(grid.proc_shape)
     spec = grid.spec()
+    use_mm = _use_mm_stages(f.dtype, grid.shape)
 
     def body(fl):
-        fh = _fft3_fwd(fl, plan)
-        return _fft3_inv(fh, plan, grid.shape[-1]).real.astype(fl.dtype)
+        fh = _fft3_fwd(fl, plan, use_mm)
+        return (
+            _fft3_inv(fh, plan, grid.shape[-1], use_mm).real.astype(fl.dtype)
+        )
 
     return shard_map(
         body, mesh=grid.mesh, in_specs=(spec,), out_specs=spec,
@@ -196,8 +252,10 @@ def solve_poisson_sharded(
                 own = own & (_lex_rank(g) == 0)
         return own
 
+    use_mm = _use_mm_stages(rhs.dtype, grid.shape)
+
     def body(fl, tz, ty, tx):
-        fh = _fft3_fwd(fl, plan)
+        fh = _fft3_fwd(fl, plan, use_mm)
         lz = _pencil_slice(tz, 0, fh.shape[0], shards_of)
         ly = _pencil_slice(ty, 1, fh.shape[1], shards_of)
         lx = _pencil_slice(tx, 2, fh.shape[2], shards_of)
@@ -211,7 +269,9 @@ def solve_poisson_sharded(
         if mean != 0.0:
             mask = jnp.zeros(ph.shape, bool).at[0, 0, 0].set(_owns_zero_mode())
             ph = jnp.where(mask, jnp.asarray(mean * npts, ph.dtype), ph)
-        return _fft3_inv(ph, plan, grid.shape[-1]).real.astype(fl.dtype)
+        return (
+            _fft3_inv(ph, plan, grid.shape[-1], use_mm).real.astype(fl.dtype)
+        )
 
     return shard_map(
         body,

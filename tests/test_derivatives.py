@@ -354,7 +354,8 @@ def test_sublane_kernel_rejects_unsupported():
     from cfd_tpu.ops.pallas_sublane import sublane_derivative, sublane_supported
 
     assert not sublane_supported(SCHEME4, 100, jnp.float32)
-    assert not sublane_supported(SCHEME4, 128, jnp.float32)
+    # round 5: single-block (nb=1) lines are supported
+    assert sublane_supported(SCHEME4, 128, jnp.float32)
     assert not sublane_supported(SCHEME4, 256, jnp.float64)
     with pytest.raises(ValueError):  # minor axis belongs to the lane kernel
         sublane_derivative(jnp.zeros((4, 256), jnp.float32), 0.1, SCHEME4, axis=-1)
@@ -362,11 +363,42 @@ def test_sublane_kernel_rejects_unsupported():
         sublane_derivative(jnp.zeros((256, 4), jnp.float64), 0.1, SCHEME4, axis=0)
 
 
+def test_single_block_kernels_match_oracle():
+    """Round 5: n=128 single-block (nb=1) lane/sublane routes — one block
+    cyclically coupled to itself through the self-coupled 2x2 reduced
+    system (parallel/compact.direction_tables). All four scheme classes,
+    interpret mode, vs the host f64 scipy-banded oracle."""
+    from cfd_tpu.oracle import derivative_np
+    from cfd_tpu.ops.pallas_lane import lane_derivative
+    from cfd_tpu.ops.pallas_sublane import sublane_derivative
+    from cfd_tpu.schemes import get_filter, get_scheme
+
+    rng = np.random.default_rng(0)
+    f64 = rng.standard_normal((8, 128, 128))
+    f = jnp.asarray(f64, jnp.float32)
+    for sch in (
+        SCHEME4_PERIODIC,
+        SCHEME4,
+        get_scheme(4, True, 2),
+        get_filter(6, periodic=True),
+    ):
+        ref = derivative_np(sch, f64, 0.1, axis=-1)
+        out = np.asarray(lane_derivative(f, 0.1, sch, interpret=True))
+        assert np.max(np.abs(out - ref)) < 1e-5 * np.max(np.abs(ref)), sch.name
+        ref2 = derivative_np(sch, f64, 0.1, axis=-2)
+        out2 = np.asarray(
+            sublane_derivative(f, 0.1, sch, axis=-2, interpret=True)
+        )
+        assert np.max(np.abs(out2 - ref2)) < 1e-5 * np.max(np.abs(ref2)), (
+            sch.name
+        )
+
+
 def test_lane_kernel_rejects_unsupported():
     from cfd_tpu.ops.pallas_lane import lane_derivative, lane_supported
 
     assert not lane_supported(SCHEME4, 100, jnp.float32)  # not 128-multiple
-    assert not lane_supported(SCHEME4, 128, jnp.float32)  # single block
+    assert lane_supported(SCHEME4, 128, jnp.float32)  # nb=1 route (round 5)
     assert not lane_supported(SCHEME4, 256, jnp.float64)
     with pytest.raises(ValueError):
         lane_derivative(jnp.zeros((4, 100), jnp.float32), 0.1, SCHEME4)

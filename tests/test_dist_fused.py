@@ -56,6 +56,35 @@ def test_sharded_poisson_matches_single_device(order):
     assert np.max(np.abs(ps - p1)) < 1e-12 * np.max(np.abs(p1))
 
 
+def test_pencil_matmul_dft_stages_match_fft():
+    """Round 5: the pencil transforms' MXU matmul-DFT stages (the TPU-f32
+    route — the TPU's own f32 FFT mangles Nyquist modes) produce the same
+    Poisson solve as the jnp.fft stages, forced on CPU via the knob."""
+    import os
+
+    shape = (32, 64, 48)
+    sch = schemes.SCHEME4_PERIODIC
+    rng = np.random.default_rng(7)
+    rhs = rng.standard_normal(shape).astype(np.float32)
+    rhs -= rhs.mean()
+    grid = Grid(make_mesh((2, 2, 2)), shape, SPACING, sch)
+    f32 = jnp.asarray(rhs)
+    p_fft = np.asarray(solve_poisson_sharded(f32, grid, sch))
+    os.environ["CFD_TPU_MATMUL_DFT"] = "1"
+    try:
+        rt = np.asarray(pencil_fft3(f32, grid))
+        p_mm = np.asarray(solve_poisson_sharded(f32, grid, sch, mean=0.125))
+    finally:
+        del os.environ["CFD_TPU_MATMUL_DFT"]
+    assert np.max(np.abs(rt - rhs)) < 1e-5
+    scale = np.max(np.abs(p_fft))
+    # mean=0.125 shifts the constant mode only
+    assert abs(float(p_mm.mean()) - 0.125) < 1e-5
+    assert np.max(np.abs((p_mm - p_mm.mean()) - (p_fft - p_fft.mean()))) < (
+        1e-5 * scale
+    )
+
+
 def test_sharded_projection_kills_divergence():
     shape = (32, 64, 64)
     sch = schemes.SCHEME4_PERIODIC
@@ -114,17 +143,40 @@ def test_dist_fused_substep_matches_generic_step():
     assert err < 1e-5, err
 
 
-def test_dist_fused_substep_declines_z_sharded_mesh():
+def test_dist_fused_substep_z_sharded_2x2x2():
+    """Round 5: the fused substep serves z-SHARDED meshes — the reference's
+    canonical 2x2x2 topology (ref-results/256-8.txt) — via the distributed
+    leading tail (fz + d2z dispatches + one XLA Williamson fusion). One
+    substep vs the generic rhs built from f64 PCR distributed derivatives."""
     sch = schemes.SCHEME4_PERIODIC
     d2 = schemes.get_scheme(4, True, 2)
-    shape = (64, 256, 256)
-    mesh = make_mesh((2, 2, 2))  # z sharded: the mega kernel cannot run
-    # (declines at trace time, before any kernel compiles — cheap test)
+    shape = (128, 256, 256)  # shards (64, 128, 128): minor dist kernels at
+    # 128 points/line, leading dist at 64 rows (pick_nb=2)
+    mesh = make_mesh((2, 2, 2))
     g1 = Grid(mesh, shape, SPACING, sch)
     g2 = Grid(mesh, shape, SPACING, d2)
     s1 = DistributedCompactSolver(g1, method="pallas", interpret=True)
     s2 = DistributedCompactSolver(g2, method="pallas", interpret=True)
     dv = Derivs.distributed(s1, s2, interpret=True)
-    f = jnp.zeros(shape, jnp.float32)
-    u = (f, f, f)
-    assert dv.fused_substep(f, u, None, 1e-3, 1e-3, 0.0, 1.0 / 3.0) is None
+    assert dv.fused_substep is not None
+    f0 = _smooth(shape)
+    u32 = tuple(
+        jnp.asarray(a, jnp.float32)
+        for a in (_smooth(shape, 4), _smooth(shape, 5), _smooth(shape, 6))
+    )
+    f32 = jnp.asarray(f0, jnp.float32)
+    out = dv.fused_substep(f32, u32, None, 1e-3, 1e-3, 0.0, 1.0 / 3.0)
+    assert out is not None, "fused substep declined the 2x2x2 mesh"
+    _, ff = out
+
+    r1 = DistributedCompactSolver(g1, method="pcr")
+    r2 = DistributedCompactSolver(g2, method="pcr")
+    f64 = jnp.asarray(f0, jnp.float64)
+    u64 = tuple(jnp.asarray(np.asarray(a), jnp.float64) for a in u32)
+    adv = (
+        u64[0] * r1.dfdx(f64) + u64[1] * r1.dfdy(f64) + u64[2] * r1.dfdz(f64)
+    )
+    lap = r2.dfdx(f64) + r2.dfdy(f64) + r2.dfdz(f64)
+    f_ref = f64 + (1.0 / 3.0) * 1e-3 * (-adv + 1e-3 * lap)
+    err = float(jnp.max(jnp.abs(ff - f_ref))) / float(jnp.max(jnp.abs(f_ref)))
+    assert err < 1e-5, err

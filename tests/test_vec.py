@@ -163,8 +163,10 @@ def test_vec_supported_gates():
         assert not sup(SCHEME4_D2_PERIODIC, 64, 256, 256, f32)
         # dtype
         assert not sup(SCHEME4_PERIODIC, 64, 256, 256, f64)
-        # ny too short for the sublane roll
-        assert not sup(SCHEME4_PERIODIC, 64, 128, 256, f32)
+        # ny = 128 runs the single-block sublane route (round 5)
+        assert sup(SCHEME4_PERIODIC, 64, 128, 256, f32)
+        # non-multiple of 128 stays unsupported
+        assert not sup(SCHEME4_PERIODIC, 64, 100, 256, f32)
     # the fused wrappers additionally need the leading solver's line length
     assert not div_fused_supported(SCHEME4_PERIODIC, 8, 256, 256, f32)
     assert not curl_fused_supported(SCHEME4_PERIODIC, 8, 256, 256, f32)
