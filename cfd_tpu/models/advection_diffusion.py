@@ -58,6 +58,11 @@ class Derivs:
     # HBM passes). None return = unsupported for these shapes; the model
     # falls back to the generic rhs/step form.
     fused_substep: Callable = None
+    # (u, q, dt, nu, a, b) -> (q', u') or None: the 3-component vector
+    # momentum stage (ops/fused_step.make_fused_substep_vec — the merged
+    # adv_lap3 head reads each velocity component once). Burgers/NS prefer
+    # it over three scalar fused substeps when set.
+    fused_substep_vec: Callable = None
 
     @classmethod
     def single_device(
@@ -76,15 +81,20 @@ class Derivs:
         )
         lap = None
         fused = None
+        fused_vec = None
         if second_derivative:
             from ..schemes import get_scheme
 
             d2 = get_scheme(scheme.order, scheme.periodic, derivative=2)
             lap = lambda f: single.laplacian(f, (dz, dy, dx), d2, method=method)
             if method == "auto" and scheme.derivative_order == 1:
-                from ..ops.fused_step import make_fused_substep
+                from ..ops.fused_step import (
+                    make_fused_substep,
+                    make_fused_substep_vec,
+                )
 
                 fused = make_fused_substep((dz, dy, dx), scheme, d2)
+                fused_vec = make_fused_substep_vec((dz, dy, dx), scheme, d2)
         return cls(
             dfdx=lambda f: single.dfdx(f, dx, scheme, method=method),
             dfdy=lambda f: single.dfdy(f, dy, scheme, method=method),
@@ -94,6 +104,7 @@ class Derivs:
                 f, (dz, dy, dx), scheme, method=method
             ),
             fused_substep=fused,
+            fused_substep_vec=fused_vec,
         )
 
     @classmethod

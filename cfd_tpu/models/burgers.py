@@ -52,6 +52,18 @@ class Burgers:
     def step(self, u, dt):
         A = (0.0, -5.0 / 9.0, -153.0 / 128.0)
         B = (1.0 / 3.0, 15.0 / 16.0, 8.0 / 15.0)
+        fsv = self.derivs.fused_substep_vec
+        if fsv is not None:
+            # vector momentum stage: all three components through the
+            # merged adv_lap3 head (each velocity read once per stage)
+            first = fsv(tuple(u), None, dt, self.nu, A[0], B[0])
+            if first is not None:
+                q, cur = first
+                for si in (1, 2):
+                    q, cur = fsv(
+                        cur, q, dt, self.nu, A[si], B[si], last=si == 2
+                    )
+                return tuple(cur)
         fs = self.derivs.fused_substep
         if fs is not None:
             # the advecting field is frozen within a substep, so each

@@ -191,6 +191,19 @@ class NavierStokes:
         """
         A = (0.0, -5.0 / 9.0, -153.0 / 128.0)
         B = (1.0 / 3.0, 15.0 / 16.0, 8.0 / 15.0)
+        fsv = self.derivs.fused_substep_vec
+        if fsv is not None:
+            # vector momentum stage (merged adv_lap3 head) + projection
+            first = fsv(tuple(u), None, dt, self.nu, A[0], B[0])
+            if first is not None:
+                q, cur = first
+                cur = tuple(self.project(cur))
+                for si in (1, 2):
+                    q, cur = fsv(
+                        cur, q, dt, self.nu, A[si], B[si], last=si == 2
+                    )
+                    cur = tuple(self.project(cur))
+                return cur
         fs = self.derivs.fused_substep
         if fs is not None:
             first = fs(u[0], u, None, dt, self.nu, A[0], B[0])

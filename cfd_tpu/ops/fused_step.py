@@ -43,7 +43,11 @@ import jax.numpy as jnp
 
 from ..schemes import CompactScheme
 
-__all__ = ["fused_substep_supported", "make_fused_substep"]
+__all__ = [
+    "fused_substep_supported",
+    "make_fused_substep",
+    "make_fused_substep_vec",
+]
 
 
 def fused_substep_supported(shape, dtype, scheme: CompactScheme, d2: CompactScheme) -> bool:
@@ -138,3 +142,65 @@ def make_fused_substep(spacing, scheme: CompactScheme, d2: CompactScheme, *, int
         )
 
     return substep
+
+
+def make_fused_substep_vec(
+    spacing, scheme: CompactScheme, d2: CompactScheme, *, interpret: bool = False
+):
+    """Build ``substep_vec(u, q, dt, nu, a, b, last=False) -> (q', u') | None``
+    — one momentum stage for ALL THREE components of a velocity system
+    (Burgers / Navier-Stokes): the 3-component merged head
+    (ops/pallas_lap.adv_lap_rhs3 — u0/u1/u2 each read ONCE) plus three
+    mega-kernel tails. FOUR dispatches and 27 HBM passes per stage, vs six
+    dispatches / 31 passes for three scalar fused substeps. ``q`` is a
+    3-tuple of RK states or None (first substep); ``last=True`` elides the
+    dead q' writes and returns ``(None, u')``.
+    """
+    if scheme.derivative_order != 1 or d2.derivative_order != 2:
+        raise ValueError("need a d1 scheme and a d2 scheme")
+    dz, dy, dx = (
+        (spacing, spacing, spacing)
+        if isinstance(spacing, (int, float))
+        else spacing
+    )
+
+    def substep_vec(u, q, dt, nu, a, b, last=False):
+        if not interpret and jax.default_backend() != "tpu":
+            return None
+        u0 = u[0]
+        if not fused_substep_supported(u0.shape, u0.dtype, scheme, d2):
+            return None
+        from .pallas_lap import adv_lap3_supported, adv_lap_rhs3
+        from .pallas_megastep import rk3_mega, rk3_mega_supported
+
+        nz, ny, nx = u0.shape
+        if not adv_lap3_supported(scheme, d2, nz, ny, nx, u0.dtype):
+            return None
+        if not rk3_mega_supported(
+            scheme, d2, u0.shape, u0.dtype, has_q=q is not None
+        ):
+            return None
+        axys, rs = adv_lap_rhs3(u, dz, dy, dx, scheme, d2, interpret=interpret)
+        qs, us = [], []
+        for i in range(3):
+            qi, ui = rk3_mega(
+                u[i],
+                rs[i],
+                axys[i],
+                u[2],
+                q[i] if q is not None else None,
+                scheme,
+                d2,
+                dz,
+                a=a,
+                b=b,
+                dt=dt,
+                nu=nu,
+                write_q=not last,
+                interpret=interpret,
+            )
+            qs.append(qi)
+            us.append(ui)
+        return (None if last else tuple(qs)), tuple(us)
+
+    return substep_vec

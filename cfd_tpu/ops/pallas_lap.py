@@ -82,6 +82,8 @@ __all__ = [
     "lap_rhs_supported",
     "adv_lap_rhs",
     "adv_lap_supported",
+    "adv_lap_rhs3",
+    "adv_lap3_supported",
 ]
 
 # resident set: ring (3 slabs) + input (x2 double-buffered) + output (x2)
@@ -673,27 +675,7 @@ def adv_lap_rhs(
     )
     x_fold = nx <= FOLD_MAX
     d1_tabs = _d1_pair_tables(scheme1, ny, nx, dy, dx, x_fold)
-
-    inv_dx2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)) ** 2
-    Mt, E, _ = _fold_tables(scheme2, nx)
-    _, D, _, _, _, _, _ = _lane_tables(scheme2, nx)
-    inv_dy2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dy, jnp.float32)) ** 2
-    Mt_y, E_y, _ = _fold_tables(scheme2, ny)
-    M_y = np.ascontiguousarray(np.transpose(Mt_y, (0, 2, 1)))
-    _, D_y, _, _, _, _, _ = _lane_tables(scheme2, ny)
-    d2_tabs = (
-        jnp.asarray(Mt) * inv_dx2,
-        jnp.asarray(D),
-        jnp.asarray(E) * inv_dx2,
-        jnp.asarray(M_y) * inv_dy2,
-        jnp.asarray(D_y.T),
-        jnp.asarray(E_y.T) * inv_dy2,
-    )
-
-    btab, ttab = _z_tables(scheme2, nz)
-    inv_dz2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dz, jnp.float32)) ** 2
-    bt = jnp.asarray(btab) * inv_dz2
-    tt = jnp.asarray(ttab)
+    d2_tabs, bt, tt = _lap_call_tables(scheme2, nz, ny, nx, dz, dy, dx)
 
     return _call_adv_lap(
         f,
@@ -712,3 +694,318 @@ def adv_lap_rhs(
         ay=ay,
         interpret=interpret,
     )
+
+
+def _lap_call_tables(scheme2: CompactScheme, nz, ny, nx, dz, dy, dx):
+    """(d2_tabs, bt, tt) device tables for the merged lap-RHS emitters."""
+    inv_dx2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dx, jnp.float32)) ** 2
+    Mt, E, _ = _fold_tables(scheme2, nx)
+    _, D, _, _, _, _, _ = _lane_tables(scheme2, nx)
+    inv_dy2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dy, jnp.float32)) ** 2
+    Mt_y, E_y, _ = _fold_tables(scheme2, ny)
+    M_y = np.ascontiguousarray(np.transpose(Mt_y, (0, 2, 1)))
+    _, D_y, _, _, _, _, _ = _lane_tables(scheme2, ny)
+    d2_tabs = (
+        jnp.asarray(Mt) * inv_dx2,
+        jnp.asarray(D),
+        jnp.asarray(E) * inv_dx2,
+        jnp.asarray(M_y) * inv_dy2,
+        jnp.asarray(D_y.T),
+        jnp.asarray(E_y.T) * inv_dy2,
+    )
+    btab, ttab = _z_tables(scheme2, nz)
+    inv_dz2 = (jnp.asarray(1.0, jnp.float32) / jnp.asarray(dz, jnp.float32)) ** 2
+    return d2_tabs, jnp.asarray(btab) * inv_dz2, jnp.asarray(ttab)
+
+
+# ---------------------------------------------------------------------------
+# 3-component merged advection + Laplacian RHS: the momentum-stage head of a
+# velocity SYSTEM (Burgers / Navier-Stokes) in ONE dispatch
+# ---------------------------------------------------------------------------
+#
+# Per RK stage a 3-component system needs (axy_i, r_i) for every component
+# u_i, all advected by the SAME (ux, uy) = (u_0, u_1). Three adv_lap_rhs
+# dispatches read 7 arrays (u_0 and u_1 twice over) and write 6; this kernel
+# reads u_0, u_1, u_2 ONCE and writes the same 6 — nine HBM passes instead
+# of thirteen, and the d1/d2 fold tables are shipped to VMEM once instead
+# of three times. VMEM: three 3-slab rings + three double-buffered inputs +
+# six double-buffered outputs ~ 29 slab-equivalents; the slab picker budgets
+# for it (the physical ~16 MB/core bounds sz to 2 at 256^2 planes).
+
+_VMEM_MERGED3 = 15 * 1024 * 1024  # sz=2 at 256^2: sz=4 measured slower (2.75 vs 2.62 ms)
+
+
+def _pick_sz_merged3(nz: int, ny: int, nx: int, W: int) -> int:
+    for sz in (8, 4, 2, 1):
+        if nz % sz or sz < W:
+            continue
+        if 29 * sz * ny * nx * 4 <= _VMEM_MERGED3:
+            return sz
+    return 0
+
+
+def adv_lap3_supported(
+    scheme1: CompactScheme,
+    scheme2: CompactScheme,
+    nz: int,
+    ny: int,
+    nx: int,
+    dtype,
+) -> bool:
+    """Whether the 3-component merged advection+lap-RHS kernel applies."""
+    if not adv_lap_supported(scheme1, scheme2, nz, ny, nx, dtype):
+        return False
+    return _pick_sz_merged3(nz, ny, nx, scheme2.stencil_width) > 0
+
+
+def _adv_lap3_kernel(
+    u0_ref,
+    u1_ref,
+    u2_ref,
+    x1t_ref,
+    x1d_ref,
+    x1e_ref,
+    y1t_ref,
+    y1d_ref,
+    y1q_ref,
+    x2t_ref,
+    x2d_ref,
+    x2e_ref,
+    y2t_ref,
+    y2d_ref,
+    y2e_ref,
+    bt_ref,
+    tt_ref,
+    a0_ref,
+    a1_ref,
+    a2_ref,
+    r0_ref,
+    r1_ref,
+    r2_ref,
+    ring0,
+    ring1,
+    ring2,
+    *,
+    nbz: int,
+    sz: int,
+    ny: int,
+    nx: int,
+    W: int,
+    x_fold: bool,
+    x1_meta,
+    y1_meta,
+    x2_meta,
+    y2_meta,
+    scheme1: CompactScheme,
+    compute_dtype,
+):
+    from .pallas_pair import _d1_blocks
+
+    m = BLOCK_LANES
+    i = pl.program_id(0)
+    comps = (
+        (u0_ref, a0_ref, r0_ref, ring0),
+        (u1_ref, a1_ref, r1_ref, ring1),
+        (u2_ref, a2_ref, r2_ref, ring2),
+    )
+
+    for f_ref, _, _, ring in comps:
+        ring[pl.ds((i % 3) * sz, sz)] = f_ref[...]
+
+    for f_ref, axy_ref, r_ref, ring in comps:
+        for q in range(sz):
+            xb, yb = _d1_blocks(
+                f_ref[q],
+                x1t_ref,
+                x1d_ref,
+                x1e_ref,
+                y1t_ref,
+                y1d_ref,
+                y1q_ref,
+                nx=nx,
+                ny=ny,
+                x_fold=x_fold,
+                x_meta=x1_meta,
+                y_meta=y1_meta,
+                scheme=scheme1,
+                compute_dtype=compute_dtype,
+            )
+            for b in range(nx // m):
+                sl = slice(m * b, m * (b + 1))
+                axy_ref[q, :, sl] = (
+                    u0_ref[q, :, sl].astype(compute_dtype) * xb[b]
+                ).astype(axy_ref.dtype)
+            for b in range(ny // m):
+                sl = slice(m * b, m * (b + 1))
+                axy_ref[q, sl, :] = axy_ref[q, sl, :] + (
+                    u1_ref[q, sl, :].astype(compute_dtype) * yb[b]
+                ).astype(axy_ref.dtype)
+        _emit_lap_slab(
+            ring,
+            i,
+            x2t_ref,
+            x2d_ref,
+            x2e_ref,
+            y2t_ref,
+            y2d_ref,
+            y2e_ref,
+            bt_ref,
+            tt_ref,
+            r_ref,
+            nbz=nbz,
+            sz=sz,
+            ny=ny,
+            nx=nx,
+            W=W,
+            x_meta=x2_meta,
+            y_meta=y2_meta,
+            compute_dtype=compute_dtype,
+        )
+
+
+def _merged_metas(scheme1, scheme2, ny, nx, x_fold):
+    if x_fold:
+        _, _, edges_meta = _fold_tables(scheme1, nx)
+        _, _, _, _, _, d_nonzero, _ = _lane_tables(scheme1, nx)
+        x1_meta = (edges_meta, d_nonzero, d_block_map(scheme1, nx))
+    else:
+        _, _, _, ct, cb, d_nonzero, wfold = _lane_tables(scheme1, nx)
+        x1_meta = (ct, cb, d_nonzero, wfold, d_block_map(scheme1, nx))
+    _, _, _, cty, cby, d_nonzero_y, wfold_y = _lane_tables(scheme1, ny)
+    y1_meta = (cty, cby, d_nonzero_y, wfold_y, d_block_map(scheme1, ny))
+    _, _, edges_meta_x2 = _fold_tables(scheme2, nx)
+    _, _, _, _, _, d_nonzero_x2, _ = _lane_tables(scheme2, nx)
+    x2_meta = (edges_meta_x2, d_nonzero_x2, d_block_map(scheme2, nx))
+    _, _, edges_meta_y2 = _fold_tables(scheme2, ny)
+    _, _, _, _, _, d_nonzero_y2, _ = _lane_tables(scheme2, ny)
+    y2_meta = (edges_meta_y2, d_nonzero_y2, d_block_map(scheme2, ny))
+    return x1_meta, y1_meta, x2_meta, y2_meta
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scheme1", "scheme2", "nz", "ny", "nx", "x_fold", "interpret",
+    ),
+)
+def _call_adv_lap3(
+    u0, u1, u2, d1_tabs, d2_tabs, bt, tt,
+    *, scheme1, scheme2, nz, ny, nx, x_fold, interpret,
+):
+    x1_meta, y1_meta, x2_meta, y2_meta = _merged_metas(
+        scheme1, scheme2, ny, nx, x_fold
+    )
+    W = scheme2.stencil_width
+    sz = _pick_sz_merged3(nz, ny, nx, W)
+    nbz = nz // sz
+    kernel = functools.partial(
+        _adv_lap3_kernel,
+        nbz=nbz,
+        sz=sz,
+        ny=ny,
+        nx=nx,
+        W=W,
+        x_fold=x_fold,
+        x1_meta=x1_meta,
+        y1_meta=y1_meta,
+        x2_meta=x2_meta,
+        y2_meta=y2_meta,
+        scheme1=scheme1,
+        compute_dtype=jnp.float32,
+    )
+    arrive = pl.BlockSpec(
+        (sz, ny, nx), lambda i: ((i - 1) % nbz, 0, 0), memory_space=pltpu.VMEM
+    )
+    lagged = pl.BlockSpec(
+        (sz, ny, nx),
+        lambda i: (jnp.clip(i - 2, 0, nbz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    smem = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
+    )
+    out = jax.ShapeDtypeStruct((nz, ny, nx), u0.dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out,) * 6,
+        grid=(nbz + 2,),
+        in_specs=[arrive] * 3
+        + [whole(t) for t in d1_tabs]
+        + [whole(t) for t in d2_tabs]
+        + [smem(bt), smem(tt)],
+        out_specs=(arrive,) * 3 + (lagged,) * 3,
+        scratch_shapes=[pltpu.VMEM((3 * sz, ny, nx), jnp.float32)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=126 * nz * ny * nx,
+            bytes_accessed=9 * nz * ny * nx * u0.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # three rings + three inputs + six outputs + per-component emit
+            # temporaries measure 26.3 MB at sz=2, 256^2 planes — over the
+            # 16 MB default scoped-vmem cap but well under the physical
+            # VMEM; raise the cap for this kernel only
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(u0, u1, u2, *d1_tabs, *d2_tabs, bt, tt)
+
+
+def adv_lap_rhs3(
+    u,
+    dz,
+    dy,
+    dx,
+    scheme1: CompactScheme,
+    scheme2: CompactScheme,
+    *,
+    interpret: bool = False,
+):
+    """``(axy_i, r_i)`` for all three components of a velocity system in
+    ONE dispatch: ``axy_i = u0*d1x(u_i) + u1*d1y(u_i)`` and
+    ``r_i = B_z u_i + T_z(d2x u_i + d2y u_i)``.
+
+    Returns ``((axy0, axy1, axy2), (r0, r1, r2))`` — bit-identical to
+    three ``adv_lap_rhs(u_i, u0, u1)`` calls (same block bodies, same
+    tables) at nine HBM passes instead of thirteen. Requires
+    ``adv_lap3_supported``.
+    """
+    u0, u1, u2 = u
+    if u0.ndim != 3 or not (u0.shape == u1.shape == u2.shape):
+        raise ValueError(
+            f"adv_lap_rhs3 needs three equal-shape 3-D components, got "
+            f"{[c.shape for c in u]}"
+        )
+    nz, ny, nx = u0.shape
+    if not adv_lap3_supported(scheme1, scheme2, nz, ny, nx, u0.dtype):
+        raise ValueError(
+            f"adv_lap_rhs3 unsupported for shape {u0.shape} dtype "
+            f"{u0.dtype} schemes {scheme1.name}/{scheme2.name}"
+        )
+    from .pallas_lane import FOLD_MAX
+    from .pallas_pair import _d1_pair_tables
+
+    x_fold = nx <= FOLD_MAX
+    d1_tabs = _d1_pair_tables(scheme1, ny, nx, dy, dx, x_fold)
+    d2_tabs, bt, tt = _lap_call_tables(scheme2, nz, ny, nx, dz, dy, dx)
+    outs = _call_adv_lap3(
+        u0.astype(jnp.float32),
+        u1.astype(jnp.float32),
+        u2.astype(jnp.float32),
+        d1_tabs,
+        d2_tabs,
+        bt,
+        tt,
+        scheme1=scheme1,
+        scheme2=scheme2,
+        nz=nz,
+        ny=ny,
+        nx=nx,
+        x_fold=x_fold,
+        interpret=interpret,
+    )
+    return outs[:3], outs[3:]

@@ -124,8 +124,11 @@ def test_lap_rhs_supported_gates():
     assert not lap_rhs_supported(SCHEME4_PERIODIC, 64, 256, 256, f32)
     # dtype
     assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 256, 256, f64)
-    # ny too short for the sublane fold
-    assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 128, 256, f32)
+    # ny = 128 takes the round-5 single-block sublane form; shorter (or
+    # non-multiple-of-128) lines stay unsupported
+    assert lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 128, 256, f32)
+    assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 64, 256, f32)
+    assert not lap_rhs_supported(SCHEME4_D2_PERIODIC, 64, 192, 256, f32)
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +193,8 @@ def test_adv_lap_supported_gates():
     assert not adv_lap_supported(s1, s1, 64, 256, 256, f32)
     # non-periodic d2 (closure-hostile change of variables)
     assert not adv_lap_supported(s1, SCHEME4_D2, 64, 256, 256, f32)
-    # dtype / short-axis gates ride the pair predicates
+    # dtype / short-axis gates ride the pair predicates (ny = 128 is the
+    # round-5 single-block sublane form; shorter stays unsupported)
     assert not adv_lap_supported(s1, s2, 64, 256, 256, f64)
-    assert not adv_lap_supported(s1, s2, 64, 128, 256, f32)
+    assert adv_lap_supported(s1, s2, 64, 128, 256, f32)
+    assert not adv_lap_supported(s1, s2, 64, 64, 256, f32)

@@ -167,3 +167,47 @@ def test_matmul_dft_transforms_match_fft():
     assert float(jnp.max(jnp.abs(im - ref.imag))) < 1e-5 * scale
     back = _irfft3_mm(re, im, 32)
     assert float(jnp.max(jnp.abs(back - x))) < 1e-5
+
+
+def test_split_radix_transforms_match_numpy():
+    """Split-radix stages (n >= 256: two 128-deep sub-DFT matmuls + VPU
+    butterfly; recursive at n >= 512) emit permuted bin order — forward
+    spectra must equal numpy's rfftn under `_freq_perm`/`_rfreq_perm`, and
+    the round trip must close. Shape exercises: z = 512 (one recursion
+    level), y = 256 (single split), x = 256 (split r2c + permuted-dense
+    c2r)."""
+    import numpy as np
+
+    from cfd_tpu.ops.poisson import (
+        _freq_perm,
+        _irfft3_mm,
+        _rfft3_mm,
+        _rfreq_perm,
+        _split_stage,
+    )
+
+    assert _split_stage(256) and _split_stage(512) and not _split_stage(64)
+    # recursion composes: 512's halves are each in 256-split order
+    p = _freq_perm(512)
+    assert p[0] == 0 and len(np.unique(p)) == 512
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((512, 256, 8)).astype(np.float32)
+    re, im = _rfft3_mm(jnp.asarray(x))
+    ref = np.fft.rfftn(x.astype(np.float64), axes=(-3, -2, -1))
+    ref = ref[_freq_perm(512)][:, _freq_perm(256)][:, :, _rfreq_perm(8)]
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(re) - ref.real).max() < 3e-6 * scale
+    assert np.abs(np.asarray(im) - ref.imag).max() < 3e-6 * scale
+    back = _irfft3_mm(re, im, 8)
+    assert np.abs(np.asarray(back) - x).max() < 3e-6 * np.abs(x).max()
+
+    # x-axis split + c2r: thin z/y keep it cheap
+    x2 = rng.standard_normal((8, 8, 256)).astype(np.float32)
+    re2, im2 = _rfft3_mm(jnp.asarray(x2))
+    ref2 = np.fft.rfftn(x2.astype(np.float64), axes=(-3, -2, -1))
+    ref2 = ref2[:, :, _rfreq_perm(256)]
+    s2 = np.abs(ref2).max()
+    assert np.abs(np.asarray(re2) - ref2.real).max() < 3e-6 * s2
+    assert np.abs(np.asarray(im2) - ref2.imag).max() < 3e-6 * s2
+    back2 = _irfft3_mm(re2, im2, 256)
+    assert np.abs(np.asarray(back2) - x2).max() < 3e-6 * np.abs(x2).max()
